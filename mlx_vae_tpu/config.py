@@ -1,0 +1,124 @@
+"""Configuration dataclasses.
+
+The reference configures everything through 23 argparse flags
+(``/root/reference/train.py:18-56``) plus hard-coded constants scattered in
+``trainer.py``. Here the same knobs (same names, same defaults) live in two
+frozen — therefore hashable, therefore jit-static — dataclasses.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+
+_DTYPES = {
+    "float32": jnp.float32,
+    "bfloat16": jnp.bfloat16,
+}
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Static model hyperparameters.
+
+    Defaults mirror ``/root/reference/train.py:25-31``. ``dropout`` is
+    accepted for CLI parity but — exactly like the reference, which accepts
+    the flag and never instantiates a Dropout layer
+    (``/root/reference/models/encoder.py:24``) — it is not applied.
+    """
+
+    vocab_size: int = 80
+    embedding_dim: int = 128
+    hidden_dim: int = 256
+    latent_dim: int = 128
+    num_conditions: int = 1
+    num_layers: int = 2
+    dropout: float = 0.2
+
+    # Token conventions (reference ``models/decoder.py:26-27,146``).
+    pad_token: int = 0
+    start_token: int = 0
+    end_token: int = 2
+
+    # TPU-specific knobs (no reference equivalent).
+    compute_dtype: str = "float32"  # matmul input dtype; "bfloat16" for MXU speed
+    use_pallas: bool = False  # fused Pallas LSTM-cell gate kernel
+    # Reproduce the reference decoder's load-bearing quirk: the initialized
+    # (h, c) are never threaded into the per-timestep LSTM calls, so every
+    # timestep runs from zero state (``/root/reference/models/decoder.py:143,166-168``).
+    # Default False = the *intended* semantics (state carried via lax.scan).
+    reference_zero_state: bool = False
+
+    @property
+    def dtype(self):
+        return _DTYPES[self.compute_dtype]
+
+    def replace(self, **kw) -> "ModelConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Training hyperparameters; defaults mirror ``/root/reference/train.py:34-50``
+    and the hard-coded constants listed in SURVEY.md §5 (config/flag system).
+    """
+
+    epochs: int = 30
+    batch_size: int = 32
+    learning_rate: float = 2e-4
+    beta_start: float = 0.0
+    beta_end: float = 0.05
+    beta_warmup_epochs: int = 20
+    lambda_prop: float = 0.1
+    lambda_collapse: float = 0.001
+    free_bits: float = 1.0
+    lambda_mi: float = 0.01
+    grad_clip: float = 1.0
+    checkpoint_dir: str = "./checkpoints"
+    checkpoint_freq: int = 10
+
+    # Hard-coded constants in the reference.
+    target_mi: float = 4.85  # trainer.py:152,286
+    seed: int = 67  # train.py:75
+    # Teacher-forcing schedule max(TF_FLOOR, TF_START - TF_DECAY*progress)
+    # (trainer.py:113).
+    tf_start: float = 0.9
+    tf_decay: float = 0.4
+    tf_floor: float = 0.5
+    # True-train-loss batch count (trainer.py:202) and component sampling
+    # period (trainer.py:336).
+    true_loss_batches: int = 20
+    component_sample_every: int = 25
+    # Loss-explosion guard thresholds (trainer.py:369).
+    explosion_max: float = 2000.0
+    explosion_min: float = -10.0
+
+    # Adam: the reference uses MLX ``optim.Adam`` whose update rule has no
+    # bias correction. Keep that as the parity default; flip on for standard
+    # Adam.
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    adam_bias_correction: bool = False
+
+    # TPU-specific (no reference equivalent).
+    data_parallel: bool = False  # shard the batch over all visible devices
+
+    def replace(self, **kw) -> "TrainConfig":
+        return dataclasses.replace(self, **kw)
+
+    def compute_beta(self, epoch: int) -> float:
+        """Linear KL-weight anneal (reference ``trainer.py:102-108``)."""
+        if epoch < self.beta_warmup_epochs:
+            return float(
+                self.beta_start
+                + (self.beta_end - self.beta_start) * (epoch / self.beta_warmup_epochs)
+            )
+        return float(self.beta_end)
+
+    def compute_teacher_forcing_ratio(self, epoch: int, total_epochs: int) -> float:
+        """TF decay 0.9 -> 0.5 over all epochs (reference ``trainer.py:110-114``)."""
+        progress = epoch / total_epochs
+        return float(max(self.tf_floor, self.tf_start - self.tf_decay * progress))

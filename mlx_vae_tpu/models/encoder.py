@@ -1,0 +1,81 @@
+"""Conditional sequence encoder.
+
+Capability parity with ``MLXEncoder`` (``/root/reference/models/encoder.py``):
+
+* token embedding -> ``num_layers`` stacked unidirectional LSTMs
+  (``encoder.py:50-58``; the reference README claims bi-directional but the
+  code is not — we match the code),
+* last-timestep pooling ``output[:, -1, :]`` (``encoder.py:106``),
+* condition projection concatenated with the pooled state (``encoder.py:109-112``),
+* ``fc_mu`` head and two-layer ``fc_logvar_hidden``+tanh+``fc_logvar`` head
+  (``encoder.py:66-69,117-118``) with logvar bias init 0.35 (``encoder.py:71-74``),
+* tanh bounds: ``mu = tanh(mu_raw/2)*2 in [-2, 2]``,
+  ``logvar = tanh(logvar_raw/2) - 1 in [-2, 0]`` (``encoder.py:126-130``).
+
+TPU-first: the whole stack is one jit region; each LSTM layer hoists its
+input projection into a single MXU matmul and scans only the recurrence
+(see ``ops/lstm.py``). ``dropout`` is accepted-but-unused, exactly like the
+reference (``encoder.py:24`` — no Dropout layer exists anywhere there).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mlx_vae_tpu.config import ModelConfig
+from mlx_vae_tpu.models.layers import embedding, init_embedding, init_linear, linear
+from mlx_vae_tpu.ops.lstm import init_lstm_params, lstm_sequence
+
+
+def init_encoder_params(key, cfg: ModelConfig) -> dict:
+    keys = jax.random.split(key, cfg.num_layers + 5)
+    params = {"embedding": init_embedding(keys[0], cfg.vocab_size, cfg.embedding_dim)}
+    for i in range(cfg.num_layers):
+        in_size = cfg.embedding_dim if i == 0 else cfg.hidden_dim
+        params[f"lstm_layer_{i}"] = init_lstm_params(keys[1 + i], in_size, cfg.hidden_dim)
+    combined = 2 * cfg.hidden_dim
+    k = cfg.num_layers + 1
+    params["condition_fc"] = init_linear(keys[k], cfg.num_conditions, cfg.hidden_dim)
+    params["fc_mu"] = init_linear(keys[k + 1], combined, cfg.latent_dim)
+    params["fc_logvar_hidden"] = init_linear(keys[k + 2], combined, combined)
+    params["fc_logvar"] = init_linear(keys[k + 3], combined, cfg.latent_dim)
+    # Logvar bias init 0.35 -> starting logvar ~ -2 region (reference
+    # ``encoder.py:71-74``).
+    params["fc_logvar"]["bias"] = jnp.full_like(params["fc_logvar"]["bias"], 0.35)
+    return params
+
+
+def encoder_apply(params: dict, cfg: ModelConfig, x: jnp.ndarray,
+                  conditions: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """``x [B, L] int`` tokens, ``conditions [B, C] f32`` -> ``(mu, logvar)``."""
+    dtype = cfg.dtype
+    B = x.shape[0]
+    h0 = jnp.zeros((B, cfg.hidden_dim), jnp.float32)
+    c0 = jnp.zeros((B, cfg.hidden_dim), jnp.float32)
+
+    output = embedding(params["embedding"], x, dtype)
+    for i in range(cfg.num_layers):
+        output, _ = lstm_sequence(params[f"lstm_layer_{i}"], output, h0, c0,
+                                  dtype=dtype, use_pallas=cfg.use_pallas)
+
+    final_hidden = output[:, -1, :]  # last-timestep pooling
+    condition_repr = linear(params["condition_fc"], conditions, dtype)
+    combined = jnp.concatenate([final_hidden, condition_repr], axis=1)
+
+    mu_raw = linear(params["fc_mu"], combined, dtype)
+    logvar_hidden = jnp.tanh(linear(params["fc_logvar_hidden"], combined, dtype))
+    logvar_raw = linear(params["fc_logvar"], logvar_hidden, dtype)
+
+    mu = jnp.tanh(mu_raw / 2.0) * 2.0       # [-2, 2]
+    logvar = jnp.tanh(logvar_raw / 2.0) - 1.0  # [-2, 0]
+    return mu, logvar
+
+
+def reparameterize(key, mu: jnp.ndarray, logvar: jnp.ndarray) -> jnp.ndarray:
+    """``z = mu + exp(0.5*logvar) * eps`` (reference ``encoder.py:134-154``)."""
+    std = jnp.exp(0.5 * logvar)
+    eps = jax.random.normal(key, mu.shape, dtype=mu.dtype)
+    return mu + eps * std

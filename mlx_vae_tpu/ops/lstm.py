@@ -1,0 +1,99 @@
+"""LSTM ops, TPU-first.
+
+The reference leans on MLX's single-layer ``nn.LSTM`` called per layer (and,
+in the decoder, per *timestep* from Python —
+``/root/reference/models/decoder.py:152-185``). Here the recurrence is a
+``lax.scan`` compiled once, and the input-side projection of the whole
+sequence is hoisted out of the scan into one large MXU matmul
+(``x @ Wx^T`` over ``[B*L, in] @ [in, 4H]``), leaving only the ``h @ Wh^T``
+recurrent matmul inside the loop.
+
+Parameter layout mirrors MLX ``nn.LSTM`` naming for checkpoint-surface parity:
+``{"Wx": [4H, in], "Wh": [4H, H], "bias": [4H]}``, gate order (i, f, g, o),
+update ``c' = σ(f)·c + σ(i)·tanh(g)``, ``h' = σ(o)·tanh(c')``.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def init_lstm_params(key, input_size: int, hidden_size: int) -> dict:
+    """Uniform(-k, k) with k = 1/sqrt(hidden_size), matching MLX nn.LSTM init."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    scale = 1.0 / jnp.sqrt(hidden_size)
+    return {
+        "Wx": jax.random.uniform(k1, (4 * hidden_size, input_size),
+                                 minval=-scale, maxval=scale, dtype=jnp.float32),
+        "Wh": jax.random.uniform(k2, (4 * hidden_size, hidden_size),
+                                 minval=-scale, maxval=scale, dtype=jnp.float32),
+        "bias": jax.random.uniform(k3, (4 * hidden_size,),
+                                   minval=-scale, maxval=scale, dtype=jnp.float32),
+    }
+
+
+def lstm_gates(gates: jnp.ndarray, c: jnp.ndarray,
+               use_pallas: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Elementwise LSTM gate update from pre-activation ``gates [..., 4H]``.
+
+    Returns ``(h_new, c_new)``. With ``use_pallas`` the fused Pallas kernel
+    (one VMEM pass over the gates; custom VJP) is used when shapes allow.
+    """
+    if use_pallas:
+        from mlx_vae_tpu.ops.pallas_lstm import fused_lstm_gates, pallas_supported
+        if pallas_supported(gates.shape, c.shape):
+            return fused_lstm_gates(gates, c)
+    h = c.shape[-1]
+    i = jax.nn.sigmoid(gates[..., :h])
+    f = jax.nn.sigmoid(gates[..., h : 2 * h])
+    g = jnp.tanh(gates[..., 2 * h : 3 * h])
+    o = jax.nn.sigmoid(gates[..., 3 * h :])
+    c_new = f * c + i * g
+    h_new = o * jnp.tanh(c_new)
+    return h_new, c_new
+
+
+def _dot(a, b, dtype):
+    return jnp.dot(a.astype(dtype), b.astype(dtype),
+                   preferred_element_type=jnp.float32)
+
+
+def lstm_cell(params: dict, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray,
+              dtype=jnp.float32, use_pallas: bool = False):
+    """One LSTM step: ``x [B, in]``, ``h/c [B, H]`` -> ``(h', c')``."""
+    gates = (
+        _dot(x, params["Wx"].T, dtype)
+        + _dot(h, params["Wh"].T, dtype)
+        + params["bias"].astype(jnp.float32)
+    )
+    return lstm_gates(gates, c, use_pallas=use_pallas)
+
+
+def lstm_sequence(params: dict, xs: jnp.ndarray, h0: jnp.ndarray, c0: jnp.ndarray,
+                  dtype=jnp.float32, use_pallas: bool = False):
+    """Full-sequence LSTM: ``xs [B, L, in]`` -> ``(outputs [B, L, H], (h, c))``.
+
+    Input projections for all timesteps are computed as one batched matmul
+    before the scan (MXU-friendly); the scan body contains only the
+    recurrent matmul + fused gate update.
+    """
+    B, L, _ = xs.shape
+    # [B, L, 4H] in one MXU pass.
+    xp = _dot(xs.reshape(B * L, -1), params["Wx"].T, dtype).reshape(B, L, -1)
+    xp = xp + params["bias"].astype(jnp.float32)
+    xp_t = jnp.swapaxes(xp, 0, 1)  # [L, B, 4H] — scan over leading axis
+
+    wh_t = params["Wh"].T.astype(dtype)
+
+    def step(carry, x_proj):
+        h, c = carry
+        gates = x_proj + jnp.dot(h.astype(dtype), wh_t,
+                                 preferred_element_type=jnp.float32)
+        h, c = lstm_gates(gates, c, use_pallas=use_pallas)
+        return (h, c), h
+
+    (h, c), hs = jax.lax.scan(step, (h0, c0), xp_t)
+    return jnp.swapaxes(hs, 0, 1), (h, c)
