@@ -1,0 +1,65 @@
+"""`.npz` checkpointing with the reference key contract.
+
+Public surface (SURVEY.md §3.4, ``/root/reference/trainer.py:577-603``):
+``checkpoint_epoch_{E:03d}.npz`` / ``checkpoint_best.npz`` containing
+``epoch``, ``encoder_weights``, ``decoder_weights``,
+``encoder_optimizer_state``, ``decoder_optimizer_state``, ``history``
+(+ optional ``predictor_weights`` / ``predictor_optimizer_state``), plus
+``best_val_loss`` (read by the reference's resume path,
+``/root/reference/train.py:152``).
+
+Weights are nested dicts of numpy arrays (pickled object arrays inside the
+npz, like the reference's ``np.savez`` of MLX ``parameters()`` dicts).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from mlx_vae_tpu.utils.tree import tree_from_numpy, tree_to_numpy
+
+
+def save_checkpoint(path, epoch: int, params: dict, opt_states: dict,
+                    history: dict, best_val_loss: float = float("inf")) -> None:
+    ckpt = {
+        "epoch": epoch,
+        "encoder_weights": tree_to_numpy(params["encoder"]),
+        "decoder_weights": tree_to_numpy(params["decoder"]),
+        "encoder_optimizer_state": tree_to_numpy(opt_states["encoder"]),
+        "decoder_optimizer_state": tree_to_numpy(opt_states["decoder"]),
+        "history": history,
+        "best_val_loss": best_val_loss,
+    }
+    if "predictor" in params:
+        ckpt["predictor_weights"] = tree_to_numpy(params["predictor"])
+        ckpt["predictor_optimizer_state"] = tree_to_numpy(opt_states["predictor"])
+    np.savez(str(path), **ckpt)
+
+
+def load_checkpoint(path) -> dict:
+    """Load an .npz checkpoint -> dict with device-array params/opt states."""
+    raw = np.load(str(path), allow_pickle=True)
+    out = {
+        "epoch": int(raw["epoch"]),
+        "best_val_loss": float(raw["best_val_loss"]) if "best_val_loss" in raw
+        else float("inf"),
+        "history": raw["history"].item() if "history" in raw else None,
+    }
+    params, opt_states = {}, {}
+    for name in ("encoder", "decoder", "predictor"):
+        wkey, okey = f"{name}_weights", f"{name}_optimizer_state"
+        if wkey in raw:
+            params[name] = tree_from_numpy(raw[wkey].item())
+        if okey in raw:
+            opt_states[name] = tree_from_numpy(raw[okey].item())
+    out["params"] = params
+    out["opt_states"] = opt_states
+    return out
+
+
+def latest_best(checkpoint_dir) -> Optional[Path]:
+    p = Path(checkpoint_dir) / "checkpoint_best.npz"
+    return p if p.exists() else None

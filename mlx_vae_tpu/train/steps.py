@@ -1,0 +1,123 @@
+"""Jitted train / eval / monitor steps.
+
+The reference executes each batch as dozens of lazily-evaluated MLX ops with
+host syncs for grad clipping and loss readback
+(``/root/reference/trainer.py:297-408``). Here one ``train_step`` compiles the
+entire batch — forward (encoder + scan decoder), all five loss components,
+backward, joint global-norm clip, and both (or three) Adam updates — into a
+single XLA program. Scalar schedule values (beta, teacher-forcing ratio) are
+traced arguments so epoch-to-epoch changes never recompile.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from mlx_vae_tpu.config import ModelConfig, TrainConfig
+from mlx_vae_tpu.losses.complete import complete_vae_loss
+from mlx_vae_tpu.losses.info import mutual_information
+from mlx_vae_tpu.models.encoder import encoder_apply
+from mlx_vae_tpu.train.optim import adam_update, clip_by_global_norm
+
+_SCALAR_KEYS = (
+    "total_loss", "recon_loss", "kl_loss", "weighted_kl", "collapse_penalty",
+    "prop_loss", "weighted_prop_loss", "mutual_info", "mi_penalty",
+)
+
+
+def _scalar_metrics(loss_dict) -> dict:
+    m = {k: loss_dict[k] for k in _SCALAR_KEYS}
+    # Latent-bound diagnostics for the explosion guard printout
+    # (reference ``trainer.py:389-399``).
+    m["mu_abs_max"] = jnp.max(jnp.abs(loss_dict["mu"]))
+    m["logvar_min"] = jnp.min(loss_dict["logvar"])
+    m["logvar_max"] = jnp.max(loss_dict["logvar"])
+    return m
+
+
+@functools.partial(jax.jit, static_argnames=("mcfg", "tcfg"),
+                   donate_argnames=("params", "opt_states"))
+def train_step(params: dict, opt_states: dict, mcfg: ModelConfig,
+               tcfg: TrainConfig, x, conditions, key, beta, tf_ratio):
+    """One optimization step. ``params`` / ``opt_states`` are donated.
+
+    ``params = {"encoder", "decoder"[, "predictor"]}``;
+    ``opt_states`` has the same keys (separate Adam states, reference
+    ``trainer.py:74-76``, extended to the predictor when present).
+    """
+    has_predictor = "predictor" in params
+
+    def loss_fn(p):
+        d = complete_vae_loss(
+            p["encoder"], p["decoder"], p.get("predictor"), mcfg,
+            x, conditions, key,
+            beta=beta,
+            lambda_prop=tcfg.lambda_prop,
+            lambda_collapse=tcfg.lambda_collapse,
+            teacher_forcing_ratio=tf_ratio,
+            free_bits=tcfg.free_bits,
+            lambda_mi=tcfg.lambda_mi,
+            target_mi=tcfg.target_mi,
+        )
+        return d["total_loss"], d
+
+    (_, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+    names = ["encoder", "decoder"] + (["predictor"] if has_predictor else [])
+    grad_tuple = tuple(grads[n] for n in names)
+    if tcfg.grad_clip > 0:
+        grad_tuple, grad_norm = clip_by_global_norm(grad_tuple, tcfg.grad_clip)
+    else:
+        from mlx_vae_tpu.utils.tree import global_norm
+        grad_norm = global_norm(*grad_tuple)
+
+    new_params, new_states = {}, {}
+    for name, g in zip(names, grad_tuple):
+        new_params[name], new_states[name] = adam_update(
+            params[name], g, opt_states[name], tcfg.learning_rate,
+            b1=tcfg.adam_b1, b2=tcfg.adam_b2, eps=tcfg.adam_eps,
+            bias_correction=tcfg.adam_bias_correction,
+        )
+
+    metrics = _scalar_metrics(loss_dict)
+    metrics["grad_norm"] = grad_norm
+    return new_params, new_states, metrics
+
+
+@functools.partial(jax.jit, static_argnames=("mcfg", "tcfg"))
+def eval_step(params: dict, mcfg: ModelConfig, tcfg: TrainConfig,
+              x, conditions, key, beta, tf_ratio):
+    """Loss forward only (used for true-train-loss at TF=0, reference
+    ``trainer.py:116-175``, and validation, ``trainer.py:418-487``)."""
+    d = complete_vae_loss(
+        params["encoder"], params["decoder"], params.get("predictor"), mcfg,
+        x, conditions, key,
+        beta=beta,
+        lambda_prop=tcfg.lambda_prop,
+        lambda_collapse=tcfg.lambda_collapse,
+        teacher_forcing_ratio=tf_ratio,
+        free_bits=tcfg.free_bits,
+        lambda_mi=tcfg.lambda_mi,
+        target_mi=tcfg.target_mi,
+    )
+    return _scalar_metrics(d)
+
+
+@functools.partial(jax.jit, static_argnames=("mcfg",))
+def monitor_step(encoder_params: dict, mcfg: ModelConfig, x, conditions):
+    """Latent stats + monitoring-MI on one batch (reference
+    ``trainer.py:524-575``; this MI variant uses the +1e-8 epsilon)."""
+    mu, logvar = encoder_apply(encoder_params, mcfg, x, conditions)
+    mi = mutual_information(mu, logvar, eps=1e-8)
+    stats = {
+        "mu_min": jnp.min(mu), "mu_max": jnp.max(mu),
+        "mu_mean": jnp.mean(mu), "mu_std": jnp.std(mu),
+        "logvar_min": jnp.min(logvar), "logvar_max": jnp.max(logvar),
+        "logvar_mean": jnp.mean(logvar), "logvar_std": jnp.std(logvar),
+        "mutual_info": mi,
+    }
+    return stats

@@ -1,0 +1,309 @@
+"""Training engine.
+
+Capability parity with ``ARCVAETrainerWithLoss``
+(``/root/reference/trainer.py:12-736``):
+
+* β linear anneal and teacher-forcing decay schedules,
+* per-epoch: TF training pass, 20-batch no-TF "true train loss" (so reported
+  train/val curves are comparable — reference ``trainer.py:202,225``), full
+  validation at TF=0, latent-stats + MI monitoring on one 64-batch,
+* joint global-norm grad clipping, two separate Adam states,
+* loss-explosion guard (non-finite / >2000 / < -10) with component and
+  latent-bound dump — like the reference, the guard only skips the batch
+  from *accounting*; the parameter update has already been applied
+  (``trainer.py:320-401`` applies updates before the check),
+* ``.npz`` checkpoint save/load (key contract in ``train/checkpoint.py``),
+  history JSON and the 2x3 plot grid.
+
+TPU-first differences:
+
+* the whole batch is ONE jitted step (``train/steps.py``) — no per-op host
+  syncs; the loss scalar is read back with a one-step lag so step N+1 is
+  already dispatched while N's guard check runs;
+* loss components are returned from the same forward every step (the
+  reference runs an *extra* loss-only forward every 25 batches,
+  ``trainer.py:336-363``); the 25-batch sampling cadence for the history
+  averages is preserved;
+* input batches are double-buffer prefetched to device;
+* optional data parallelism: with ``TrainConfig.data_parallel`` the batch is
+  sharded over a ``('data',)`` mesh and XLA inserts the gradient all-reduce
+  over ICI inside the same jitted step (partial trailing batches are dropped
+  in this mode — shapes must divide the mesh).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from tqdm import tqdm
+except ImportError:  # pragma: no cover
+    def tqdm(it, **kw):
+        return it
+
+from mlx_vae_tpu.config import ModelConfig, TrainConfig
+from mlx_vae_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+from mlx_vae_tpu.train import checkpoint as ckpt_io
+from mlx_vae_tpu.train.history import make_history, plot_history, save_history
+from mlx_vae_tpu.train.optim import adam_init
+from mlx_vae_tpu.train.steps import eval_step, monitor_step, train_step
+from mlx_vae_tpu.utils.prefetch import prefetch_to_device
+
+
+class ARCVAETrainer:
+    def __init__(
+        self,
+        params: dict,
+        mcfg: ModelConfig,
+        tcfg: TrainConfig,
+        dataset,
+        seed: Optional[int] = None,
+    ):
+        """``params`` is the ARCVAE param pytree
+        (``{"encoder", "decoder"[, "predictor"]}``)."""
+        self.mcfg = mcfg
+        self.tcfg = tcfg
+        self.dataset = dataset
+        self.batch_size = tcfg.batch_size
+        self.learning_rate = tcfg.learning_rate
+
+        self._key = jax.random.PRNGKey(tcfg.seed if seed is None else seed)
+        self._shuffle_rng = np.random.default_rng(tcfg.seed if seed is None else seed)
+
+        self.checkpoint_dir = Path(tcfg.checkpoint_dir)
+        self.checkpoint_dir.mkdir(parents=True, exist_ok=True)
+
+        self.history = make_history()
+
+        # Device placement / data parallelism.
+        self.mesh = None
+        self._batch_sharding = None
+        if tcfg.data_parallel and len(jax.devices()) > 1:
+            self.mesh = make_mesh()
+            n_data = self.mesh.shape["data"]
+            if tcfg.batch_size % n_data != 0:
+                raise ValueError(
+                    f"batch_size {tcfg.batch_size} must divide over {n_data} "
+                    "data-parallel devices")
+            self._batch_sharding = batch_sharding(self.mesh)
+            params = jax.device_put(params, replicated_sharding(self.mesh))
+
+        self.params = params
+        self.opt_states = {name: adam_init(p) for name, p in params.items()}
+        if self.mesh is not None:
+            self.opt_states = jax.device_put(
+                self.opt_states, replicated_sharding(self.mesh))
+
+    # ---------------------------------------------------------------- utils
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def compute_beta(self, epoch: int) -> float:
+        return self.tcfg.compute_beta(epoch)
+
+    def compute_teacher_forcing_ratio(self, epoch: int, total_epochs: int) -> float:
+        return self.tcfg.compute_teacher_forcing_ratio(epoch, total_epochs)
+
+    def _batches(self, dataset, shuffle: bool, drop_last: Optional[bool] = None):
+        if drop_last is None:
+            drop_last = self.mesh is not None
+        it = dataset.to_batches(self.batch_size, shuffle=shuffle,
+                                rng=self._shuffle_rng if shuffle else None,
+                                drop_last=drop_last)
+        return prefetch_to_device(it, size=2, sharding=self._batch_sharding)
+
+    # ---------------------------------------------------------------- epoch
+
+    def train_epoch(self, epoch: int, total_epochs: int,
+                    val_dataset=None) -> Dict[str, float]:
+        beta = self.compute_beta(epoch)
+        teacher_forcing_ratio = self.compute_teacher_forcing_ratio(epoch, total_epochs)
+
+        self._train_epoch_batches(beta, teacher_forcing_ratio)
+
+        true_train_metrics = self._compute_true_train_loss(
+            epoch, num_batches=self.tcfg.true_loss_batches)
+
+        if val_dataset is not None:
+            val_metrics = self._validate(val_dataset, beta)
+        else:
+            val_metrics = {k: 0.0 for k in ("loss", "recon", "kl", "collapse", "prop")}
+
+        stats = self._get_latent_stats()
+        mi_value = float(stats["mutual_info"])
+
+        return {
+            "train_loss": true_train_metrics["loss"],
+            "train_recon": true_train_metrics["recon"],
+            "train_kl": true_train_metrics["kl"],
+            "train_collapse": true_train_metrics["collapse"],
+            "train_prop": true_train_metrics["prop"],
+            "val_loss": val_metrics.get("loss", 0.0),
+            "val_recon": val_metrics.get("recon", 0.0),
+            "val_kl": val_metrics.get("kl", 0.0),
+            "val_collapse": val_metrics.get("collapse", 0.0),
+            "val_prop": val_metrics.get("prop", 0.0),
+            "beta": beta,
+            "teacher_forcing": teacher_forcing_ratio,
+            "mutual_info": mi_value,
+        }
+
+    # ------------------------------------------------------------ train pass
+
+    def _train_epoch_batches(self, beta: float,
+                             teacher_forcing_ratio: float) -> Dict[str, float]:
+        tcfg = self.tcfg
+        total_loss, num_batches = 0.0, 0
+        comp_sums = dict(recon=0.0, kl=0.0, collapse=0.0, prop=0.0)
+        comp_count = 0
+
+        beta_arr = jnp.float32(beta)
+        tf_arr = jnp.float32(teacher_forcing_ratio)
+
+        num_batches_total = len(self.dataset) // self.batch_size
+        pbar = tqdm(self._batches(self.dataset, shuffle=True),
+                    total=num_batches_total, desc="Training batches")
+
+        pending = None  # (batch_idx, device metrics) — one-step-lag readback
+
+        def account(batch_idx, metrics):
+            nonlocal total_loss, num_batches, comp_count
+            m = jax.device_get(metrics)
+            loss_val = float(m["total_loss"])
+
+            if batch_idx == 0 or batch_idx % tcfg.component_sample_every == 0:
+                comp_sums["recon"] += float(m["recon_loss"])
+                comp_sums["kl"] += float(m["kl_loss"])
+                comp_sums["collapse"] += float(m["collapse_penalty"])
+                comp_sums["prop"] += float(m["prop_loss"])
+                comp_count += 1
+
+            # Explosion guard (reference trainer.py:369-401): diagnostics +
+            # skip from accounting only (the update is already applied).
+            if (not np.isfinite(loss_val) or loss_val > tcfg.explosion_max
+                    or loss_val < tcfg.explosion_min):
+                print(f"\n⚠️  WARNING: Loss explosion detected at batch {batch_idx}!")
+                print(f"   Loss: {loss_val:.2e}")
+                print(f"   Components: recon={float(m['recon_loss']):.2f}, "
+                      f"kl={float(m['kl_loss']):.2f}, "
+                      f"weighted_kl={float(m['weighted_kl']):.2f}, "
+                      f"collapse={float(m['collapse_penalty']):.2f}")
+                print(f"   Latent bounds: |μ|_max={float(m['mu_abs_max']):.3f} "
+                      f"(expected ≤2), logvar=[{float(m['logvar_min']):.3f}, "
+                      f"{float(m['logvar_max']):.3f}] (expected [-2, 0])")
+                print("   Skipping this batch...")
+                return
+
+            total_loss += loss_val
+            num_batches += 1
+            if batch_idx % 10 == 0 and hasattr(pbar, "set_postfix"):
+                pbar.set_postfix({"loss": f"{loss_val:.4f}"})
+
+        for batch_idx, (molecules, conditions) in enumerate(pbar):
+            self.params, self.opt_states, metrics = train_step(
+                self.params, self.opt_states, self.mcfg, tcfg,
+                molecules, conditions, self._next_key(), beta_arr, tf_arr)
+            if pending is not None:
+                account(*pending)
+            pending = (batch_idx, metrics)
+
+        if pending is not None:
+            account(*pending)
+
+        return {
+            "loss": total_loss / max(1, num_batches),
+            "recon": comp_sums["recon"] / comp_count if comp_count else 0.0,
+            "kl": comp_sums["kl"] / comp_count if comp_count else 0.0,
+            "collapse": comp_sums["collapse"] / comp_count if comp_count else 0.0,
+            "prop": comp_sums["prop"] / comp_count if comp_count else 0.0,
+        }
+
+    # ------------------------------------------------------------ eval paths
+
+    def _eval_batches(self, dataset, beta: float, max_batches: Optional[int],
+                      desc: str) -> Dict[str, float]:
+        sums = dict(loss=0.0, recon=0.0, kl=0.0, collapse=0.0, prop=0.0)
+        n = 0
+        beta_arr = jnp.float32(beta)
+        tf_zero = jnp.float32(0.0)
+        for batch_idx, (molecules, conditions) in enumerate(
+                self._batches(dataset, shuffle=False)):
+            if max_batches is not None and batch_idx >= max_batches:
+                break
+            m = jax.device_get(eval_step(
+                self.params, self.mcfg, self.tcfg,
+                molecules, conditions, self._next_key(), beta_arr, tf_zero))
+            sums["loss"] += float(m["total_loss"])
+            sums["recon"] += float(m["recon_loss"])
+            sums["kl"] += float(m["kl_loss"])
+            sums["collapse"] += float(m["collapse_penalty"])
+            sums["prop"] += float(m["prop_loss"])
+            n += 1
+        return {k: v / n if n else 0.0 for k, v in sums.items()}
+
+    def _compute_true_train_loss(self, epoch: int,
+                                 num_batches: int = 20) -> Dict[str, float]:
+        """No-TF train loss on the first ``num_batches`` unshuffled batches
+        (reference ``trainer.py:116-175``)."""
+        beta = self.compute_beta(epoch)
+        return self._eval_batches(self.dataset, beta, num_batches, "True loss")
+
+    def _validate(self, val_dataset, beta: float) -> Dict[str, float]:
+        return self._eval_batches(val_dataset, beta, None, "Validating")
+
+    def _get_latent_stats(self) -> Dict[str, float]:
+        """Latent stats + monitor-MI on one 64-batch (reference
+        ``trainer.py:524-575``)."""
+        molecules, conditions = next(iter(
+            self.dataset.to_batches(64, shuffle=False)))
+        stats = jax.device_get(monitor_step(
+            self.params["encoder"], self.mcfg,
+            jnp.asarray(molecules), jnp.asarray(conditions)))
+        stats = {k: float(v) for k, v in stats.items()}
+        print(f"   Latent Stats: μ=[{stats['mu_min']:.3f}, {stats['mu_max']:.3f}] "
+              f"(mean={stats['mu_mean']:.3f}, std={stats['mu_std']:.3f}), "
+              f"logvar=[{stats['logvar_min']:.3f}, {stats['logvar_max']:.3f}] "
+              f"(mean={stats['logvar_mean']:.3f}, std={stats['logvar_std']:.3f})")
+        return stats
+
+    # ---------------------------------------------------------- persistence
+
+    def save_checkpoint(self, epoch: int, is_best: bool = False,
+                        best_val_loss: float = float("inf")) -> None:
+        path = self.checkpoint_dir / f"checkpoint_epoch_{epoch:03d}.npz"
+        if is_best:
+            best = self.checkpoint_dir / "checkpoint_best.npz"
+            ckpt_io.save_checkpoint(best, epoch, self.params, self.opt_states,
+                                    self.history, best_val_loss)
+            print(f"    Saved checkpoint: {best}")
+        ckpt_io.save_checkpoint(path, epoch, self.params, self.opt_states,
+                                self.history, best_val_loss)
+        print(f"    Saved checkpoint: {path}")
+
+    def load_checkpoint(self, checkpoint_path) -> int:
+        loaded = ckpt_io.load_checkpoint(checkpoint_path)
+        # Keep predictor params if the checkpoint lacks them but we have them.
+        for name, p in loaded["params"].items():
+            self.params[name] = p
+        for name, s in loaded["opt_states"].items():
+            self.opt_states[name] = s
+        if self.mesh is not None:
+            sh = replicated_sharding(self.mesh)
+            self.params = jax.device_put(self.params, sh)
+            self.opt_states = jax.device_put(self.opt_states, sh)
+        if loaded["history"] is not None:
+            self.history = loaded["history"]
+        return loaded["epoch"]
+
+    def save_history(self, path) -> None:
+        save_history(self.history, path)
+
+    def plot_history(self, save_path=None) -> None:
+        plot_history(self.history, save_path)
