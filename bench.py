@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Benchmark harness — prints ONE JSON line to stdout.
+
+Metric: steady-state **training tokens/sec/chip** of the jitted train step on
+the reference's default model config (vocab 80, emb 128, hidden 256,
+latent 128, 2 LSTM layers — ``/root/reference/train.py:25-31``) at batch 1024,
+seq len 64.
+
+``vs_baseline``: the reference publishes no numbers (BASELINE.md). The driver
+target is ">= 20x MLX-on-M2 training tokens/sec". We conservatively estimate
+the reference's M2 throughput at 50k tokens/sec (per-timestep Python loop,
+batch 32; see SURVEY.md §3.1) => target = 1.0M tokens/sec/chip, and report
+``vs_baseline = value / 1.0e6`` (>= 1.0 beats the 20x target).
+
+Extra diagnostics go to stderr; stdout carries exactly one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mlx_vae_tpu.config import ModelConfig, TrainConfig
+from mlx_vae_tpu.models import ARCVAE
+from mlx_vae_tpu.train.optim import adam_init
+from mlx_vae_tpu.train.steps import train_step
+
+BASELINE_TOKENS_PER_SEC = 1.0e6  # 20x the estimated 50k tok/s MLX-on-M2
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_train(batch: int = 1024, seq_len: int = 64, steps: int = 30,
+                warmup: int = 5, compute_dtype: str = "bfloat16",
+                use_pallas: bool = None) -> float:
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform == "tpu"
+    mcfg = ModelConfig(compute_dtype=compute_dtype, use_pallas=use_pallas)
+    tcfg = TrainConfig(batch_size=batch)
+    log(f"devices={jax.devices()} model={mcfg}")
+
+    vae = ARCVAE(mcfg, jax.random.PRNGKey(0))
+    params = vae.params
+    opt = {name: adam_init(p) for name, p in params.items()}
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(0, mcfg.vocab_size, (batch, seq_len)), jnp.int32)
+    cond = jnp.asarray(rng.normal(size=(batch, mcfg.num_conditions)), jnp.float32)
+    beta = jnp.float32(0.05)
+    tf = jnp.float32(0.9)
+    key = jax.random.PRNGKey(1)
+
+    # Warmup (compile + cache)
+    for i in range(warmup):
+        key, k = jax.random.split(key)
+        params, opt, m = train_step(params, opt, mcfg, tcfg, x, cond, k, beta, tf)
+    jax.block_until_ready(m["total_loss"])
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        key, k = jax.random.split(key)
+        params, opt, m = train_step(params, opt, mcfg, tcfg, x, cond, k, beta, tf)
+    jax.block_until_ready(m["total_loss"])
+    dt = time.perf_counter() - t0
+
+    step_time = dt / steps
+    tokens_per_sec = batch * seq_len / step_time
+    log(f"step_time={step_time*1e3:.2f}ms tokens/sec={tokens_per_sec:,.0f} "
+        f"loss={float(m['total_loss']):.4f}")
+    return tokens_per_sec
+
+
+def main():
+    tokens_per_sec = bench_train()
+    n_chips = jax.device_count()
+    per_chip = tokens_per_sec / n_chips
+    print(json.dumps({
+        "metric": "train_tokens_per_sec_per_chip",
+        "value": round(per_chip, 1),
+        "unit": "tokens/sec/chip",
+        "vs_baseline": round(per_chip / BASELINE_TOKENS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,40 @@
+"""Test harness config.
+
+Tests run on CPU with 8 fake devices
+(``--xla_force_host_platform_device_count=8``, jax's standard mechanism for
+exercising pjit/sharding without a TPU pod — SURVEY.md §4(e)). Must be set
+before jax initializes.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+# Plugin environments (e.g. the axon TPU terminal) force their platform via
+# jax.config, which beats the env var — force CPU back explicitly.
+jax.config.update("jax_platforms", "cpu")
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from mlx_vae_tpu.config import ModelConfig  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def tiny_cfg() -> ModelConfig:
+    return ModelConfig(vocab_size=24, embedding_dim=16, hidden_dim=32,
+                       latent_dim=8, num_conditions=1, num_layers=2)
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture()
+def key():
+    return jax.random.PRNGKey(0)

@@ -1,0 +1,145 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mlx_vae_tpu.config import ModelConfig
+from mlx_vae_tpu.models import (
+    ARCVAE,
+    decoder_apply,
+    encoder_apply,
+    init_decoder_params,
+    init_encoder_params,
+    init_predictor_params,
+    initialize_hidden_state,
+    predictor_apply,
+    reparameterize,
+)
+
+
+def _data(cfg, B=4, L=10, seed=1):
+    kx, kc = jax.random.split(jax.random.PRNGKey(seed))
+    x = jax.random.randint(kx, (B, L), 0, cfg.vocab_size)
+    cond = jax.random.normal(kc, (B, cfg.num_conditions))
+    return x, cond
+
+
+class TestEncoder:
+    def test_shapes_and_bounds(self, tiny_cfg, key):
+        params = init_encoder_params(key, tiny_cfg)
+        x, cond = _data(tiny_cfg)
+        mu, logvar = encoder_apply(params, tiny_cfg, x, cond)
+        assert mu.shape == (4, tiny_cfg.latent_dim)
+        assert logvar.shape == (4, tiny_cfg.latent_dim)
+        # tanh bounds (reference encoder.py:126-130)
+        assert float(jnp.abs(mu).max()) <= 2.0
+        assert float(logvar.max()) <= 0.0
+        assert float(logvar.min()) >= -2.0
+
+    def test_logvar_bias_init(self, tiny_cfg, key):
+        params = init_encoder_params(key, tiny_cfg)
+        np.testing.assert_allclose(np.asarray(params["fc_logvar"]["bias"]), 0.35)
+
+    def test_conditions_matter(self, tiny_cfg, key):
+        params = init_encoder_params(key, tiny_cfg)
+        x, cond = _data(tiny_cfg)
+        mu1, _ = encoder_apply(params, tiny_cfg, x, cond)
+        mu2, _ = encoder_apply(params, tiny_cfg, x, cond + 3.0)
+        assert float(jnp.abs(mu1 - mu2).max()) > 1e-5
+
+    def test_reparameterize_stats(self, key):
+        mu = jnp.ones((2000, 4)) * 0.5
+        logvar = jnp.zeros((2000, 4))  # std=1
+        z = reparameterize(key, mu, logvar)
+        assert abs(float(z.mean()) - 0.5) < 0.05
+        assert abs(float(z.std()) - 1.0) < 0.05
+
+
+class TestDecoder:
+    def test_logits_shape(self, tiny_cfg, key):
+        params = init_decoder_params(key, tiny_cfg)
+        x, cond = _data(tiny_cfg)
+        z = jax.random.normal(jax.random.PRNGKey(2), (4, tiny_cfg.latent_dim))
+        logits = decoder_apply(params, tiny_cfg, z, cond, target_seq=x,
+                               teacher_forcing_ratio=0.5, key=key)
+        assert logits.shape == (4, 10, tiny_cfg.vocab_size)
+
+    def test_init_hidden_state(self, tiny_cfg, key):
+        params = init_decoder_params(key, tiny_cfg)
+        z = jnp.ones((4, tiny_cfg.latent_dim))
+        cond = jnp.ones((4, tiny_cfg.num_conditions))
+        h, c = initialize_hidden_state(params, tiny_cfg, z, cond)
+        assert h.shape == (tiny_cfg.num_layers, 4, tiny_cfg.hidden_dim)
+        np.testing.assert_allclose(np.asarray(c), 0.0)
+        # all layers identical (replication, reference decoder.py:102-106)
+        np.testing.assert_allclose(np.asarray(h[0]), np.asarray(h[1]))
+
+    def test_z_influences_output_by_default(self, tiny_cfg, key):
+        """Default mode fixes the reference quirk: z must matter."""
+        params = init_decoder_params(key, tiny_cfg)
+        x, cond = _data(tiny_cfg)
+        z1 = jnp.zeros((4, tiny_cfg.latent_dim))
+        z2 = jnp.ones((4, tiny_cfg.latent_dim)) * 2
+        l1 = decoder_apply(params, tiny_cfg, z1, cond, target_seq=x,
+                           teacher_forcing_ratio=1.0, key=key)
+        l2 = decoder_apply(params, tiny_cfg, z2, cond, target_seq=x,
+                           teacher_forcing_ratio=1.0, key=key)
+        assert float(jnp.abs(l1 - l2).max()) > 1e-4
+
+    def test_reference_zero_state_quirk(self, tiny_cfg, key):
+        """Quirk mode: z has NO effect (state never threads —
+        reference decoder.py:143,166-168, SURVEY.md §2.1)."""
+        cfg = tiny_cfg.replace(reference_zero_state=True)
+        params = init_decoder_params(key, cfg)
+        x, cond = _data(cfg)
+        z1 = jnp.zeros((4, cfg.latent_dim))
+        z2 = jnp.ones((4, cfg.latent_dim)) * 2
+        l1 = decoder_apply(params, cfg, z1, cond, target_seq=x,
+                           teacher_forcing_ratio=1.0, key=key)
+        l2 = decoder_apply(params, cfg, z2, cond, target_seq=x,
+                           teacher_forcing_ratio=1.0, key=key)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-6)
+
+    def test_full_teacher_forcing_uses_targets(self, tiny_cfg, key):
+        """At TF=1 the step-t input is target[t-1]; logits at t must be
+        invariant to targets at >= t (causality check)."""
+        params = init_decoder_params(key, tiny_cfg)
+        x, cond = _data(tiny_cfg)
+        z = jnp.zeros((4, tiny_cfg.latent_dim))
+        l1 = decoder_apply(params, tiny_cfg, z, cond, target_seq=x,
+                           teacher_forcing_ratio=1.0, key=key)
+        x2 = x.at[:, -1].set((x[:, -1] + 1) % tiny_cfg.vocab_size)
+        l2 = decoder_apply(params, tiny_cfg, z, cond, target_seq=x2,
+                           teacher_forcing_ratio=1.0, key=key)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-6)
+
+    def test_no_target_runs_max_length(self, tiny_cfg, key):
+        params = init_decoder_params(key, tiny_cfg)
+        _, cond = _data(tiny_cfg)
+        z = jnp.zeros((4, tiny_cfg.latent_dim))
+        logits = decoder_apply(params, tiny_cfg, z, cond, max_length=13)
+        assert logits.shape == (4, 13, tiny_cfg.vocab_size)
+
+
+class TestPredictor:
+    def test_shapes(self, tiny_cfg, key):
+        params = init_predictor_params(key, tiny_cfg)
+        z = jnp.zeros((4, tiny_cfg.latent_dim))
+        out = predictor_apply(params, tiny_cfg, z)
+        assert out.shape == (4, tiny_cfg.num_conditions)
+
+
+class TestFacade:
+    def test_forward_contract(self, tiny_cfg, key):
+        vae = ARCVAE(tiny_cfg, key)
+        x, cond = _data(tiny_cfg)
+        logits, mu, logvar, z = vae(x, cond, jax.random.PRNGKey(9), 0.5)
+        assert logits.shape == (4, 10, tiny_cfg.vocab_size)
+        assert mu.shape == logvar.shape == z.shape == (4, tiny_cfg.latent_dim)
+
+    def test_generate_contract(self, tiny_cfg, key):
+        vae = ARCVAE(tiny_cfg, key)
+        cond = jnp.zeros((6, tiny_cfg.num_conditions))
+        toks = vae.generate(6, cond, jax.random.PRNGKey(3), max_length=12)
+        assert toks.shape == (6, 12)
+        assert toks.dtype == jnp.int32

@@ -1,0 +1,56 @@
+"""Fused Pallas LSTM gate kernel vs the pure-jnp path (interpret mode on CPU;
+the same kernel compiles with Mosaic on a real TPU — exercised by bench.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mlx_vae_tpu.ops.lstm import lstm_gates
+from mlx_vae_tpu.ops.pallas_lstm import fused_lstm_gates, pallas_supported
+
+
+def _rand(shape, s):
+    return jax.random.normal(jax.random.PRNGKey(s), shape, jnp.float32)
+
+
+def test_pallas_supported_gate():
+    assert pallas_supported((8, 512), (8, 128))
+    assert not pallas_supported((8, 100), (8, 25))
+    assert not pallas_supported((8, 512), (8, 64))
+
+
+def test_fused_forward_matches_jnp():
+    gates = _rand((16, 512), 0)
+    c = _rand((16, 128), 1)
+    h_ref, c_ref = lstm_gates(gates, c)
+    h_p, c_p = fused_lstm_gates(gates, c, True)  # interpret=True on CPU
+    np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_ref), rtol=1e-5, atol=1e-5)
+
+
+def test_fused_backward_matches_jnp():
+    gates = _rand((8, 512), 2)
+    c = _rand((8, 128), 3)
+
+    def loss_ref(g_, c_):
+        h, cn = lstm_gates(g_, c_)
+        return jnp.sum(h * 1.3 + cn * 0.7)
+
+    def loss_pal(g_, c_):
+        h, cn = fused_lstm_gates(g_, c_, True)
+        return jnp.sum(h * 1.3 + cn * 0.7)
+
+    g1 = jax.grad(loss_ref, argnums=(0, 1))(gates, c)
+    g2 = jax.grad(loss_pal, argnums=(0, 1))(gates, c)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5)
+
+
+def test_row_blocking_covers_remainder():
+    # batch not a multiple of the 256-row block
+    gates = _rand((300, 512), 4)
+    c = _rand((300, 128), 5)
+    h_ref, c_ref = lstm_gates(gates, c)
+    h_p, c_p = fused_lstm_gates(gates, c, True)
+    np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_ref), rtol=1e-5, atol=1e-5)

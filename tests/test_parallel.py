@@ -1,0 +1,113 @@
+"""Multi-device tests on the 8-fake-CPU-device mesh (SURVEY.md §4(e))."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from mlx_vae_tpu.config import ModelConfig, TrainConfig
+from mlx_vae_tpu.data import MoleculeDataset
+from mlx_vae_tpu.data.prepare import make_synthetic_dataset
+from mlx_vae_tpu.models import ARCVAE
+from mlx_vae_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    param_pspec,
+    replicated_sharding,
+    shard_params,
+)
+from mlx_vae_tpu.train.optim import adam_init
+from mlx_vae_tpu.train.steps import train_step
+from mlx_vae_tpu.train.trainer import ARCVAETrainer
+
+
+requires_8 = pytest.mark.skipif(jax.device_count() < 8,
+                                reason="needs 8 (fake) devices")
+
+
+@requires_8
+def test_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.shape["data"] == 8 and mesh.shape["model"] == 1
+    mesh2 = make_mesh(model_parallel=2)
+    assert mesh2.shape["data"] == 4 and mesh2.shape["model"] == 2
+
+
+def _tiny(with_batch=32):
+    mcfg = ModelConfig(vocab_size=24, embedding_dim=16, hidden_dim=32,
+                       latent_dim=8, num_conditions=1, num_layers=2)
+    tcfg = TrainConfig(batch_size=with_batch, learning_rate=1e-3)
+    vae = ARCVAE(mcfg, jax.random.PRNGKey(0))
+    x = jax.random.randint(jax.random.PRNGKey(1), (with_batch, 12), 0, 24)
+    cond = jax.random.normal(jax.random.PRNGKey(2), (with_batch, 1))
+    return mcfg, tcfg, vae, x, cond
+
+
+@requires_8
+def test_dp_train_step_matches_single_device():
+    """The same jitted step, batch sharded over 8 devices vs unsharded,
+    must produce (near) identical updated params — XLA inserts the grad
+    all-reduce; semantics must not change."""
+    mcfg, tcfg, vae, x, cond = _tiny(32)
+    key = jax.random.PRNGKey(3)
+    beta = jnp.float32(0.05)
+    tf = jnp.float32(1.0)  # TF=1 -> no data-dependent argmax feedback
+
+    params_a = jax.tree_util.tree_map(jnp.copy, vae.params)
+    opt_a = {n: adam_init(p) for n, p in params_a.items()}
+    pa, _, ma = train_step(params_a, opt_a, mcfg, tcfg, x, cond, key, beta, tf)
+
+    mesh = make_mesh()
+    sh_b = batch_sharding(mesh)
+    sh_r = replicated_sharding(mesh)
+    params_b = jax.device_put(jax.tree_util.tree_map(jnp.copy, vae.params), sh_r)
+    opt_b = jax.device_put({n: adam_init(p) for n, p in params_b.items()}, sh_r)
+    xb = jax.device_put(x, sh_b)
+    condb = jax.device_put(cond, sh_b)
+    pb, _, mb = train_step(params_b, opt_b, mcfg, tcfg, xb, condb, key, beta, tf)
+
+    assert abs(float(ma["total_loss"]) - float(mb["total_loss"])) < 1e-4
+    for la, lb in zip(jax.tree_util.tree_leaves(pa), jax.tree_util.tree_leaves(pb)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=2e-4, atol=2e-5)
+
+
+@requires_8
+def test_model_parallel_sharding_compiles_and_runs():
+    """2D mesh (data=4, model=2): vocab-facing params sharded on 'model',
+    batch on 'data'; the jitted step must compile and produce finite loss."""
+    mcfg, tcfg, vae, x, cond = _tiny(32)
+    mesh = make_mesh(model_parallel=2)
+    params = shard_params(mesh, vae.params, model_parallel=True)
+    opt = shard_params(mesh, {n: adam_init(p) for n, p in params.items()},
+                       model_parallel=True)
+    xb = jax.device_put(x, batch_sharding(mesh))
+    condb = jax.device_put(cond, batch_sharding(mesh))
+    p, o, m = train_step(params, opt, mcfg, tcfg, xb, condb,
+                         jax.random.PRNGKey(3), jnp.float32(0.05), jnp.float32(1.0))
+    assert np.isfinite(float(m["total_loss"]))
+
+
+def test_param_pspec_rules():
+    from jax.tree_util import GetAttrKey, DictKey
+    assert param_pspec((DictKey("fc_out"), DictKey("weight"))) == P("model", None)
+    assert param_pspec((DictKey("lstm_layer_0"), DictKey("Wx"))) == P("model", None)
+    assert param_pspec((DictKey("fc_mu"), DictKey("weight"))) == P()
+
+
+@requires_8
+def test_data_parallel_trainer_epoch(tmp_path):
+    make_synthetic_dataset(n=300, vocab_size=24, max_length=12,
+                           path=str(tmp_path / "d.json"))
+    from mlx_vae_tpu.data.split import load_and_split
+    train_ds, val_ds, _, _ = load_and_split(str(tmp_path / "d.json"))
+    mcfg = ModelConfig(vocab_size=24, embedding_dim=16, hidden_dim=32,
+                       latent_dim=8, num_conditions=1, num_layers=2)
+    tcfg = TrainConfig(epochs=1, batch_size=32, data_parallel=True,
+                       true_loss_batches=2, checkpoint_dir=str(tmp_path / "c"))
+    vae = ARCVAE(mcfg, jax.random.PRNGKey(0))
+    trainer = ARCVAETrainer(vae.params, mcfg, tcfg, train_ds)
+    assert trainer.mesh is not None
+    m = trainer.train_epoch(0, 1, val_dataset=val_ds)
+    assert np.isfinite(m["train_loss"]) and np.isfinite(m["val_loss"])

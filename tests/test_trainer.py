@@ -1,0 +1,165 @@
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mlx_vae_tpu.config import ModelConfig, TrainConfig
+from mlx_vae_tpu.data import MoleculeDataset
+from mlx_vae_tpu.data.prepare import make_synthetic_dataset
+from mlx_vae_tpu.data.split import load_and_split
+from mlx_vae_tpu.models import ARCVAE
+from mlx_vae_tpu.train import ARCVAETrainer, load_checkpoint
+from mlx_vae_tpu.train.optim import adam_init, adam_update, clip_by_global_norm
+
+
+@pytest.fixture(scope="module")
+def tiny_setup(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("train")
+    data_path = tmp / "syn.json"
+    make_synthetic_dataset(n=220, vocab_size=24, max_length=16, path=str(data_path))
+    train_ds, val_ds, _, _ = load_and_split(str(data_path))
+    mcfg = ModelConfig(vocab_size=24, embedding_dim=16, hidden_dim=32,
+                       latent_dim=8, num_conditions=1, num_layers=2)
+    return tmp, train_ds, val_ds, mcfg
+
+
+class TestSchedules:
+    def test_beta_anneal(self):
+        t = TrainConfig(beta_start=0.0, beta_end=0.05, beta_warmup_epochs=20)
+        assert t.compute_beta(0) == 0.0
+        assert abs(t.compute_beta(10) - 0.025) < 1e-9
+        assert t.compute_beta(20) == 0.05
+        assert t.compute_beta(100) == 0.05
+
+    def test_tf_decay(self):
+        t = TrainConfig()
+        assert t.compute_teacher_forcing_ratio(0, 30) == 0.9
+        assert abs(t.compute_teacher_forcing_ratio(15, 30) - 0.7) < 1e-9
+        assert t.compute_teacher_forcing_ratio(30, 30) == 0.5  # floor
+
+
+class TestOptim:
+    def test_adam_mlx_parity_no_bias_correction(self):
+        """First MLX-style Adam step: p -= lr * m/(sqrt(v)+eps) with
+        m=(1-b1)g, v=(1-b2)g^2 — no warmup scaling."""
+        p = {"w": jnp.asarray([1.0])}
+        g = {"w": jnp.asarray([0.5])}
+        st = adam_init(p)
+        newp, _ = adam_update(p, g, st, lr=0.1, bias_correction=False)
+        m = 0.1 * 0.5
+        v = 0.001 * 0.25
+        expected = 1.0 - 0.1 * m / (np.sqrt(v) + 1e-8)
+        assert abs(float(newp["w"][0]) - expected) < 1e-6
+
+    def test_adam_bias_correction(self):
+        p = {"w": jnp.asarray([1.0])}
+        g = {"w": jnp.asarray([0.5])}
+        st = adam_init(p)
+        newp, _ = adam_update(p, g, st, lr=0.1, bias_correction=True)
+        # first corrected step is ~ -lr * sign(g)
+        assert abs(float(newp["w"][0]) - (1.0 - 0.1)) < 1e-3
+
+    def test_clip_by_global_norm(self):
+        g1 = {"a": jnp.asarray([3.0])}
+        g2 = {"b": jnp.asarray([4.0])}
+        (c1, c2), norm = clip_by_global_norm((g1, g2), 1.0)
+        assert abs(float(norm) - 5.0) < 1e-6
+        clipped_norm = np.sqrt(float(c1["a"][0]) ** 2 + float(c2["b"][0]) ** 2)
+        assert abs(clipped_norm - 1.0) < 1e-4
+        # under the threshold: untouched
+        (c1, _), _ = clip_by_global_norm((g1, g2), 100.0)
+        assert float(c1["a"][0]) == 3.0
+
+
+class TestTrainerE2E:
+    def test_loss_decreases_and_history(self, tiny_setup):
+        tmp, train_ds, val_ds, mcfg = tiny_setup
+        tcfg = TrainConfig(epochs=3, batch_size=32, learning_rate=3e-3,
+                           checkpoint_dir=str(tmp / "ckpt"), true_loss_batches=3)
+        vae = ARCVAE(mcfg, jax.random.PRNGKey(0))
+        trainer = ARCVAETrainer(vae.params, mcfg, tcfg, train_ds)
+        losses = []
+        for epoch in range(3):
+            m = trainer.train_epoch(epoch, 3, val_dataset=val_ds)
+            losses.append(m["train_loss"])
+            assert np.isfinite(m["val_loss"])
+            for k in ("train_recon", "train_kl", "val_recon", "beta",
+                      "teacher_forcing", "mutual_info"):
+                assert k in m
+        assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+
+    def test_checkpoint_roundtrip_bit_exact(self, tiny_setup):
+        tmp, train_ds, val_ds, mcfg = tiny_setup
+        ckpt_dir = tmp / "ckpt2"
+        tcfg = TrainConfig(epochs=1, batch_size=32, checkpoint_dir=str(ckpt_dir),
+                           true_loss_batches=2)
+        vae = ARCVAE(mcfg, jax.random.PRNGKey(1))
+        trainer = ARCVAETrainer(vae.params, mcfg, tcfg, train_ds)
+        trainer.train_epoch(0, 1, val_dataset=None)
+        trainer.history["epoch"].append(0)
+        trainer.save_checkpoint(epoch=0, is_best=True, best_val_loss=1.23)
+
+        # key contract (SURVEY.md §3.4)
+        raw = np.load(ckpt_dir / "checkpoint_best.npz", allow_pickle=True)
+        for k in ("epoch", "encoder_weights", "decoder_weights",
+                  "encoder_optimizer_state", "decoder_optimizer_state",
+                  "history", "best_val_loss"):
+            assert k in raw, f"missing checkpoint key {k}"
+
+        # bit-exact restore into a fresh trainer
+        vae2 = ARCVAE(mcfg, jax.random.PRNGKey(99))
+        trainer2 = ARCVAETrainer(vae2.params, mcfg, tcfg, train_ds)
+        epoch = trainer2.load_checkpoint(ckpt_dir / "checkpoint_best.npz")
+        assert epoch == 0
+        for (p1, p2) in zip(jax.tree_util.tree_leaves(trainer.params),
+                            jax.tree_util.tree_leaves(trainer2.params)):
+            np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+        for (s1, s2) in zip(jax.tree_util.tree_leaves(trainer.opt_states),
+                            jax.tree_util.tree_leaves(trainer2.opt_states)):
+            np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+        assert trainer2.history["epoch"] == [0]
+
+    def test_history_json_schema(self, tiny_setup):
+        tmp, train_ds, _, mcfg = tiny_setup
+        tcfg = TrainConfig(checkpoint_dir=str(tmp / "ckpt3"))
+        vae = ARCVAE(mcfg, jax.random.PRNGKey(2))
+        trainer = ARCVAETrainer(vae.params, mcfg, tcfg, train_ds)
+        trainer.save_history(str(tmp))
+        with open(tmp / "training_history.json") as f:
+            h = json.load(f)
+        assert set(h) == {
+            "epoch", "train_loss", "train_recon", "train_kl", "train_collapse",
+            "train_prop", "val_loss", "val_recon", "val_kl", "val_collapse",
+            "val_prop", "beta", "teacher_forcing", "learning_rate", "mutual_info",
+        }
+
+    def test_plot_written(self, tiny_setup):
+        tmp, train_ds, _, mcfg = tiny_setup
+        tcfg = TrainConfig(checkpoint_dir=str(tmp / "ckpt4"))
+        vae = ARCVAE(mcfg, jax.random.PRNGKey(3))
+        trainer = ARCVAETrainer(vae.params, mcfg, tcfg, train_ds)
+        for i in range(2):
+            trainer.history["epoch"].append(i)
+            for k in trainer.history:
+                if k != "epoch":
+                    trainer.history[k].append(float(i))
+        out = tmp / "hist.png"
+        trainer.plot_history(save_path=str(out))
+        assert out.exists() and out.stat().st_size > 1000
+
+    def test_predictor_training(self, tiny_setup):
+        tmp, train_ds, _, mcfg = tiny_setup
+        tcfg = TrainConfig(epochs=1, batch_size=32, true_loss_batches=2,
+                           checkpoint_dir=str(tmp / "ckpt5"))
+        vae = ARCVAE(mcfg, jax.random.PRNGKey(4), with_predictor=True)
+        trainer = ARCVAETrainer(vae.params, mcfg, tcfg, train_ds)
+        m = trainer.train_epoch(0, 1, val_dataset=None)
+        assert m["train_prop"] > 0.0
+        # predictor weights must be in checkpoints
+        trainer.save_checkpoint(0, is_best=True)
+        raw = np.load(Path(tcfg.checkpoint_dir) / "checkpoint_best.npz",
+                      allow_pickle=True)
+        assert "predictor_weights" in raw
