@@ -39,10 +39,11 @@ def log(*a):
 
 def bench_train(batch: int = 1024, seq_len: int = 64, steps: int = 30,
                 warmup: int = 5, compute_dtype: str = "bfloat16",
-                use_pallas: bool = None) -> float:
+                use_pallas: bool = None, scan_unroll: int = 1) -> float:
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu"
-    mcfg = ModelConfig(compute_dtype=compute_dtype, use_pallas=use_pallas)
+    mcfg = ModelConfig(compute_dtype=compute_dtype, use_pallas=use_pallas,
+                       scan_unroll=scan_unroll)
     tcfg = TrainConfig(batch_size=batch)
     log(f"devices={jax.devices()} model={mcfg}")
 
@@ -61,19 +62,21 @@ def bench_train(batch: int = 1024, seq_len: int = 64, steps: int = 30,
     for i in range(warmup):
         key, k = jax.random.split(key)
         params, opt, m = train_step(params, opt, mcfg, tcfg, x, cond, k, beta, tf)
-    jax.block_until_ready(m["total_loss"])
+    float(m["total_loss"])
 
+    # Steps run pipelined; the final scalar READBACK forces the whole chain
+    # (on relay-tunneled backends, block_until_ready alone under-reports).
     t0 = time.perf_counter()
     for i in range(steps):
         key, k = jax.random.split(key)
         params, opt, m = train_step(params, opt, mcfg, tcfg, x, cond, k, beta, tf)
-    jax.block_until_ready(m["total_loss"])
+    loss = float(m["total_loss"])
     dt = time.perf_counter() - t0
 
     step_time = dt / steps
     tokens_per_sec = batch * seq_len / step_time
     log(f"step_time={step_time*1e3:.2f}ms tokens/sec={tokens_per_sec:,.0f} "
-        f"loss={float(m['total_loss']):.4f}")
+        f"loss={loss:.4f}")
     return tokens_per_sec
 
 

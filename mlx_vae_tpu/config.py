@@ -45,6 +45,10 @@ class ModelConfig:
     # TPU-specific knobs (no reference equivalent).
     compute_dtype: str = "float32"  # matmul input dtype; "bfloat16" for MXU speed
     use_pallas: bool = False  # fused Pallas LSTM-cell gate kernel
+    # lax.scan unroll factor for the recurrent loops (measured: unrolling
+    # HURTS on v5e for these step sizes — keep 1; the knob remains for other
+    # shapes).
+    scan_unroll: int = 1
     # Reproduce the reference decoder's load-bearing quirk: the initialized
     # (h, c) are never threaded into the per-timestep LSTM calls, so every
     # timestep runs from zero state (``/root/reference/models/decoder.py:143,166-168``).

@@ -127,5 +127,7 @@ def decoder_apply(
         next_token = jnp.where(tf_t, target_t, pred)
         return (h_new, c_new, next_token), logits
 
-    _, logits_t = jax.lax.scan(step, (h0, c0, token0), (tf_mask, targets_t))
+    _, logits_t = jax.lax.scan(step, (h0, c0, token0), (tf_mask, targets_t),
+                               unroll=min(cfg.scan_unroll, L)
+                               if cfg.scan_unroll > 1 else 1)
     return jnp.swapaxes(logits_t, 0, 1)  # [B, L, V]

@@ -59,7 +59,8 @@ def encoder_apply(params: dict, cfg: ModelConfig, x: jnp.ndarray,
     output = embedding(params["embedding"], x, dtype)
     for i in range(cfg.num_layers):
         output, _ = lstm_sequence(params[f"lstm_layer_{i}"], output, h0, c0,
-                                  dtype=dtype, use_pallas=cfg.use_pallas)
+                                  dtype=dtype, use_pallas=cfg.use_pallas,
+                                  unroll=cfg.scan_unroll)
 
     final_hidden = output[:, -1, :]  # last-timestep pooling
     condition_repr = linear(params["condition_fc"], conditions, dtype)

@@ -70,5 +70,7 @@ def generate_with_temperature(
         return (h_new, c_new, token_out, ended_new), token_out
 
     step_keys = jax.random.split(key, max_length)
-    _, tokens_t = jax.lax.scan(step, (h0, c0, token0, ended0), step_keys)
+    _, tokens_t = jax.lax.scan(step, (h0, c0, token0, ended0), step_keys,
+                               unroll=min(cfg.scan_unroll, max_length)
+                               if cfg.scan_unroll > 1 else 1)
     return jnp.swapaxes(tokens_t, 0, 1)  # [B, max_length]

@@ -73,7 +73,7 @@ def lstm_cell(params: dict, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray,
 
 
 def lstm_sequence(params: dict, xs: jnp.ndarray, h0: jnp.ndarray, c0: jnp.ndarray,
-                  dtype=jnp.float32, use_pallas: bool = False):
+                  dtype=jnp.float32, use_pallas: bool = False, unroll: int = 1):
     """Full-sequence LSTM: ``xs [B, L, in]`` -> ``(outputs [B, L, H], (h, c))``.
 
     Input projections for all timesteps are computed as one batched matmul
@@ -95,5 +95,6 @@ def lstm_sequence(params: dict, xs: jnp.ndarray, h0: jnp.ndarray, c0: jnp.ndarra
         h, c = lstm_gates(gates, c, use_pallas=use_pallas)
         return (h, c), h
 
-    (h, c), hs = jax.lax.scan(step, (h0, c0), xp_t)
+    (h, c), hs = jax.lax.scan(step, (h0, c0), xp_t,
+                              unroll=min(unroll, L) if unroll > 1 else 1)
     return jnp.swapaxes(hs, 0, 1), (h, c)
