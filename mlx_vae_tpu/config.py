@@ -49,6 +49,14 @@ class ModelConfig:
     # HURTS on v5e for these step sizes — keep 1; the knob remains for other
     # shapes).
     scan_unroll: int = 1
+    # Rematerialize scan-step internals in the backward pass instead of
+    # storing per-step gate activations (trades ~1 extra fwd matmul per step
+    # for ~8GB of HBM residual traffic at batch 1024; measured +23% step
+    # throughput on v5e).
+    remat: bool = True
+    # Decoder-step embedding lookup as one-hot @ table (MXU matmul both ways)
+    # instead of gather (whose backward is a per-step scatter-add).
+    embed_onehot: bool = True
     # Reproduce the reference decoder's load-bearing quirk: the initialized
     # (h, c) are never threaded into the per-timestep LSTM calls, so every
     # timestep runs from zero state (``/root/reference/models/decoder.py:143,166-168``).

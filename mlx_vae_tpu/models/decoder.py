@@ -119,7 +119,8 @@ def decoder_apply(
             c_in = jnp.zeros_like(c)
         else:
             h_in, c_in = h, c
-        emb = embedding(params["embedding"], token, cfg.dtype)
+        emb = embedding(params["embedding"], token, cfg.dtype,
+                        onehot=cfg.embed_onehot)
         x = jnp.concatenate([emb.astype(jnp.float32), cond_f], axis=1)
         out, h_new, c_new = _stacked_cell(params, cfg, x, h_in, c_in)
         logits = linear(params["fc_out"], out, cfg.dtype)
@@ -127,6 +128,8 @@ def decoder_apply(
         next_token = jnp.where(tf_t, target_t, pred)
         return (h_new, c_new, next_token), logits
 
+    if cfg.remat:
+        step = jax.checkpoint(step)
     _, logits_t = jax.lax.scan(step, (h0, c0, token0), (tf_mask, targets_t),
                                unroll=min(cfg.scan_unroll, L)
                                if cfg.scan_unroll > 1 else 1)

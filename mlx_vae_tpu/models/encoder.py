@@ -60,7 +60,7 @@ def encoder_apply(params: dict, cfg: ModelConfig, x: jnp.ndarray,
     for i in range(cfg.num_layers):
         output, _ = lstm_sequence(params[f"lstm_layer_{i}"], output, h0, c0,
                                   dtype=dtype, use_pallas=cfg.use_pallas,
-                                  unroll=cfg.scan_unroll)
+                                  unroll=cfg.scan_unroll, remat=cfg.remat)
 
     final_hidden = output[:, -1, :]  # last-timestep pooling
     condition_repr = linear(params["condition_fc"], conditions, dtype)

@@ -39,5 +39,13 @@ def init_embedding(key, num_embeddings: int, dims: int) -> dict:
     return {"weight": w * (dims ** -0.5)}
 
 
-def embedding(params: dict, ids: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
-    return params["weight"].astype(dtype)[ids]
+def embedding(params: dict, ids: jnp.ndarray, dtype=jnp.float32,
+              onehot: bool = False) -> jnp.ndarray:
+    """Token lookup. ``onehot=True`` computes ``one_hot(ids) @ table`` so both
+    directions are MXU matmuls — the gather's backward is a scatter-add,
+    which inside a per-timestep scan costs one slow scatter per step."""
+    w = params["weight"].astype(dtype)
+    if onehot:
+        oh = jax.nn.one_hot(ids, w.shape[0], dtype=dtype)
+        return jnp.dot(oh, w, preferred_element_type=jnp.float32).astype(dtype)
+    return w[ids]

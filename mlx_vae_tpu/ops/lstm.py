@@ -80,11 +80,15 @@ def lstm_cell(params: dict, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray,
 
 
 def lstm_sequence(params: dict, xs: jnp.ndarray, h0: jnp.ndarray, c0: jnp.ndarray,
-                  dtype=jnp.float32, use_pallas: bool = False, unroll: int = 1):
+                  dtype=jnp.float32, use_pallas: bool = False, unroll: int = 1,
+                  remat: bool = False):
     """Full-sequence LSTM: ``xs [B, L, in]`` -> ``(outputs [B, L, H], (h, c))``.
 
     One fused ``[x_t, h] @ W`` matmul + gate update per scan step; gate
     pre-activations live only in VMEM/registers (see ``_combined_weight``).
+    With ``remat`` the step is ``jax.checkpoint``-ed: the backward re-derives
+    gates from the (h, c) carries instead of storing ``[B, 4H]`` residuals
+    per step.
     """
     L = xs.shape[1]
     w = _combined_weight(params, dtype)
@@ -98,6 +102,8 @@ def lstm_sequence(params: dict, xs: jnp.ndarray, h0: jnp.ndarray, c0: jnp.ndarra
         h, c = lstm_gates(gates, c, use_pallas=use_pallas)
         return (h, c), h
 
+    if remat:
+        step = jax.checkpoint(step)
     (h, c), hs = jax.lax.scan(step, (h0, c0), xs_t,
                               unroll=min(unroll, L) if unroll > 1 else 1)
     return jnp.swapaxes(hs, 0, 1), (h, c)
