@@ -171,7 +171,14 @@ class ARCVAETrainer:
         pbar = tqdm(self._batches(self.dataset, shuffle=True),
                     total=num_batches_total, desc="Training batches")
 
-        pending = None  # (batch_idx, device metrics) — one-step-lag readback
+        # Lagged, async metric readback: blocking device_get per batch would
+        # serialize dispatch behind the host<->device round trip (which on a
+        # tunneled TPU exceeds the step time). Metrics are copied to host
+        # asynchronously at dispatch and consumed LAG steps later, so the
+        # dispatch stream never stalls.
+        import collections
+        LAG = 4
+        pending = collections.deque()
 
         def account(batch_idx, metrics):
             nonlocal total_loss, num_batches, comp_count
@@ -210,12 +217,15 @@ class ARCVAETrainer:
             self.params, self.opt_states, metrics = train_step(
                 self.params, self.opt_states, self.mcfg, tcfg,
                 molecules, conditions, self._next_key(), beta_arr, tf_arr)
-            if pending is not None:
-                account(*pending)
-            pending = (batch_idx, metrics)
+            for leaf in jax.tree_util.tree_leaves(metrics):
+                if hasattr(leaf, "copy_to_host_async"):
+                    leaf.copy_to_host_async()
+            pending.append((batch_idx, metrics))
+            if len(pending) > LAG:
+                account(*pending.popleft())
 
-        if pending is not None:
-            account(*pending)
+        while pending:
+            account(*pending.popleft())
 
         return {
             "loss": total_loss / max(1, num_batches),
@@ -233,13 +243,22 @@ class ARCVAETrainer:
         n = 0
         beta_arr = jnp.float32(beta)
         tf_zero = jnp.float32(0.0)
+        # Dispatch all eval steps first (async host copies), read back after —
+        # avoids one host round trip of latency per batch.
+        device_metrics = []
         for batch_idx, (molecules, conditions) in enumerate(
                 self._batches(dataset, shuffle=False)):
             if max_batches is not None and batch_idx >= max_batches:
                 break
-            m = jax.device_get(eval_step(
-                self.params, self.mcfg, self.tcfg,
-                molecules, conditions, self._next_key(), beta_arr, tf_zero))
+            m = eval_step(self.params, self.mcfg, self.tcfg,
+                          molecules, conditions, self._next_key(),
+                          beta_arr, tf_zero)
+            for leaf in jax.tree_util.tree_leaves(m):
+                if hasattr(leaf, "copy_to_host_async"):
+                    leaf.copy_to_host_async()
+            device_metrics.append(m)
+        for m in device_metrics:
+            m = jax.device_get(m)
             sums["loss"] += float(m["total_loss"])
             sums["recon"] += float(m["recon_loss"])
             sums["kl"] += float(m["kl_loss"])
