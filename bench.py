@@ -28,7 +28,7 @@ import numpy as np
 from mlx_vae_tpu.config import ModelConfig, TrainConfig
 from mlx_vae_tpu.models import ARCVAE
 from mlx_vae_tpu.train.optim import adam_init
-from mlx_vae_tpu.train.steps import train_step
+from mlx_vae_tpu.train.steps import multi_train_step, train_step
 
 BASELINE_TOKENS_PER_SEC = 1.0e6  # 20x the estimated 50k tok/s MLX-on-M2
 
@@ -37,40 +37,52 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_train(batch: int = 1024, seq_len: int = 64, steps: int = 30,
-                warmup: int = 5, compute_dtype: str = "bfloat16",
-                use_pallas: bool = None, scan_unroll: int = 1) -> float:
+def bench_train(batch: int = 1024, seq_len: int = 64, steps: int = 96,
+                warmup: int = 1, compute_dtype: str = "bfloat16",
+                use_pallas: bool = None, scan_unroll: int = 1,
+                steps_per_dispatch: int = 8) -> float:
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu"
     mcfg = ModelConfig(compute_dtype=compute_dtype, use_pallas=use_pallas,
                        scan_unroll=scan_unroll)
-    tcfg = TrainConfig(batch_size=batch)
-    log(f"devices={jax.devices()} model={mcfg}")
+    tcfg = TrainConfig(batch_size=batch, steps_per_dispatch=steps_per_dispatch)
+    log(f"devices={jax.devices()} model={mcfg} K={steps_per_dispatch}")
 
     vae = ARCVAE(mcfg, jax.random.PRNGKey(0))
     params = vae.params
     opt = {name: adam_init(p) for name, p in params.items()}
 
+    K = max(1, steps_per_dispatch)
+    steps = (steps // K) * K
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.integers(0, mcfg.vocab_size, (batch, seq_len)), jnp.int32)
-    cond = jnp.asarray(rng.normal(size=(batch, mcfg.num_conditions)), jnp.float32)
+    xs = jnp.asarray(rng.integers(0, mcfg.vocab_size, (K, batch, seq_len)),
+                     jnp.int32)
+    conds = jnp.asarray(rng.normal(size=(K, batch, mcfg.num_conditions)),
+                        jnp.float32)
     beta = jnp.float32(0.05)
     tf = jnp.float32(0.9)
     key = jax.random.PRNGKey(1)
 
+    def run(params, opt, key):
+        if K == 1:
+            return train_step(params, opt, mcfg, tcfg, xs[0], conds[0], key,
+                              beta, tf)
+        return multi_train_step(params, opt, mcfg, tcfg, xs, conds, key,
+                                beta, tf)
+
     # Warmup (compile + cache)
     for i in range(warmup):
         key, k = jax.random.split(key)
-        params, opt, m = train_step(params, opt, mcfg, tcfg, x, cond, k, beta, tf)
-    float(m["total_loss"])
+        params, opt, m = run(params, opt, k)
+    float(m["total_loss"][-1] if K > 1 else m["total_loss"])
 
-    # Steps run pipelined; the final scalar READBACK forces the whole chain
-    # (on relay-tunneled backends, block_until_ready alone under-reports).
+    # Dispatches run pipelined; the final scalar READBACK forces the whole
+    # chain (on relay-tunneled backends, block_until_ready under-reports).
     t0 = time.perf_counter()
-    for i in range(steps):
+    for i in range(steps // K):
         key, k = jax.random.split(key)
-        params, opt, m = train_step(params, opt, mcfg, tcfg, x, cond, k, beta, tf)
-    loss = float(m["total_loss"])
+        params, opt, m = run(params, opt, k)
+    loss = float(m["total_loss"][-1] if K > 1 else m["total_loss"])
     dt = time.perf_counter() - t0
 
     step_time = dt / steps

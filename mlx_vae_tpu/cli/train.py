@@ -74,6 +74,8 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Train the z->properties predictor head")
     parser.add_argument("--data_parallel", action="store_true",
                         help="Shard the batch over all visible devices")
+    parser.add_argument("--steps_per_dispatch", type=int, default=1,
+                        help="Fuse K optimizer steps into one dispatched program")
     parser.add_argument("--compute_dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"], help="Matmul compute dtype")
     parser.add_argument("--use_pallas", action="store_true",
@@ -181,6 +183,7 @@ def main(argv=None):
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_freq=args.checkpoint_freq,
         data_parallel=args.data_parallel,
+        steps_per_dispatch=args.steps_per_dispatch,
     )
 
     print("\nCreating VAE model...")

@@ -57,6 +57,13 @@ class ModelConfig:
     # Decoder-step embedding lookup as one-hot @ table (MXU matmul both ways)
     # instead of gather (whose backward is a per-step scatter-add).
     embed_onehot: bool = True
+    # Hand-written LSTM-sequence backward (see ops/lstm.py
+    # ``lstm_sequence_cv``): weight/input gradients as single large matmuls
+    # instead of per-timestep accumulations. Measured SLOWER than the
+    # remat'd autodiff scan on v5e at these sizes (residual traffic beats
+    # recompute), so off by default; kept as an option for larger hidden
+    # sizes where the tradeoff flips.
+    custom_vjp: bool = False
     # Reproduce the reference decoder's load-bearing quirk: the initialized
     # (h, c) are never threaded into the per-timestep LSTM calls, so every
     # timestep runs from zero state (``/root/reference/models/decoder.py:143,166-168``).
@@ -117,6 +124,10 @@ class TrainConfig:
 
     # TPU-specific (no reference equivalent).
     data_parallel: bool = False  # shard the batch over all visible devices
+    # Fuse K optimizer steps into one dispatched program (lax.scan over
+    # stacked batches). Amortizes per-dispatch overhead (~2.5ms measured on
+    # the tunneled v5e); metrics come back stacked [K].
+    steps_per_dispatch: int = 1
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from mlx_vae_tpu.config import ModelConfig
 from mlx_vae_tpu.models.layers import embedding, init_embedding, init_linear, linear
-from mlx_vae_tpu.ops.lstm import init_lstm_params, lstm_sequence
+from mlx_vae_tpu.ops.lstm import init_lstm_params, lstm_sequence, lstm_sequence_cv
 
 
 def init_encoder_params(key, cfg: ModelConfig) -> dict:
@@ -58,9 +58,13 @@ def encoder_apply(params: dict, cfg: ModelConfig, x: jnp.ndarray,
 
     output = embedding(params["embedding"], x, dtype)
     for i in range(cfg.num_layers):
-        output, _ = lstm_sequence(params[f"lstm_layer_{i}"], output, h0, c0,
-                                  dtype=dtype, use_pallas=cfg.use_pallas,
-                                  unroll=cfg.scan_unroll, remat=cfg.remat)
+        if cfg.custom_vjp:
+            output, _ = lstm_sequence_cv(params[f"lstm_layer_{i}"], output,
+                                         h0, c0, dtype, cfg.use_pallas)
+        else:
+            output, _ = lstm_sequence(params[f"lstm_layer_{i}"], output, h0, c0,
+                                      dtype=dtype, use_pallas=cfg.use_pallas,
+                                      unroll=cfg.scan_unroll, remat=cfg.remat)
 
     final_hidden = output[:, -1, :]  # last-timestep pooling
     condition_repr = linear(params["condition_fc"], conditions, dtype)

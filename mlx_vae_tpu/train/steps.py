@@ -39,16 +39,9 @@ def _scalar_metrics(loss_dict) -> dict:
     return m
 
 
-@functools.partial(jax.jit, static_argnames=("mcfg", "tcfg"),
-                   donate_argnames=("params", "opt_states"))
-def train_step(params: dict, opt_states: dict, mcfg: ModelConfig,
-               tcfg: TrainConfig, x, conditions, key, beta, tf_ratio):
-    """One optimization step. ``params`` / ``opt_states`` are donated.
-
-    ``params = {"encoder", "decoder"[, "predictor"]}``;
-    ``opt_states`` has the same keys (separate Adam states, reference
-    ``trainer.py:74-76``, extended to the predictor when present).
-    """
+def _train_body(params: dict, opt_states: dict, mcfg: ModelConfig,
+                tcfg: TrainConfig, x, conditions, key, beta, tf_ratio):
+    """Shared step body: loss + grads + joint clip + per-component Adam."""
     has_predictor = "predictor" in params
 
     def loss_fn(p):
@@ -86,6 +79,44 @@ def train_step(params: dict, opt_states: dict, mcfg: ModelConfig,
     metrics = _scalar_metrics(loss_dict)
     metrics["grad_norm"] = grad_norm
     return new_params, new_states, metrics
+
+
+@functools.partial(jax.jit, static_argnames=("mcfg", "tcfg"),
+                   donate_argnames=("params", "opt_states"))
+def train_step(params: dict, opt_states: dict, mcfg: ModelConfig,
+               tcfg: TrainConfig, x, conditions, key, beta, tf_ratio):
+    """One optimization step. ``params`` / ``opt_states`` are donated.
+
+    ``params = {"encoder", "decoder"[, "predictor"]}``;
+    ``opt_states`` has the same keys (separate Adam states, reference
+    ``trainer.py:74-76``, extended to the predictor when present).
+    """
+    return _train_body(params, opt_states, mcfg, tcfg, x, conditions, key,
+                       beta, tf_ratio)
+
+
+@functools.partial(jax.jit, static_argnames=("mcfg", "tcfg"),
+                   donate_argnames=("params", "opt_states"))
+def multi_train_step(params: dict, opt_states: dict, mcfg: ModelConfig,
+                     tcfg: TrainConfig, xs, conditions, key, beta, tf_ratio):
+    """K fused optimization steps in ONE dispatched program.
+
+    ``xs [K, B, L]``, ``conditions [K, B, C]``; scans the step body so
+    per-dispatch overhead (significant on tunneled TPU backends) is paid once
+    per K steps. Returns metrics stacked ``[K]`` per key.
+    """
+
+    def body(carry, xc):
+        params, opt_states, key = carry
+        x, c = xc
+        key, k = jax.random.split(key)
+        params, opt_states, metrics = _train_body(
+            params, opt_states, mcfg, tcfg, x, c, k, beta, tf_ratio)
+        return (params, opt_states, key), metrics
+
+    (params, opt_states, _), metrics = jax.lax.scan(
+        body, (params, opt_states, key), (xs, conditions))
+    return params, opt_states, metrics
 
 
 @functools.partial(jax.jit, static_argnames=("mcfg", "tcfg"))

@@ -51,7 +51,12 @@ from mlx_vae_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_shar
 from mlx_vae_tpu.train import checkpoint as ckpt_io
 from mlx_vae_tpu.train.history import make_history, plot_history, save_history
 from mlx_vae_tpu.train.optim import adam_init
-from mlx_vae_tpu.train.steps import eval_step, monitor_step, train_step
+from mlx_vae_tpu.train.steps import (
+    eval_step,
+    monitor_step,
+    multi_train_step,
+    train_step,
+)
 from mlx_vae_tpu.utils.prefetch import prefetch_to_device
 
 
@@ -213,19 +218,75 @@ class ARCVAETrainer:
             if batch_idx % 10 == 0 and hasattr(pbar, "set_postfix"):
                 pbar.set_postfix({"loss": f"{loss_val:.4f}"})
 
-        for batch_idx, (molecules, conditions) in enumerate(pbar):
-            self.params, self.opt_states, metrics = train_step(
-                self.params, self.opt_states, self.mcfg, tcfg,
-                molecules, conditions, self._next_key(), beta_arr, tf_arr)
+        K = max(1, tcfg.steps_per_dispatch)
+        chunk = []  # host batches awaiting a fused dispatch
+
+        def start_async_copy(metrics):
             for leaf in jax.tree_util.tree_leaves(metrics):
                 if hasattr(leaf, "copy_to_host_async"):
                     leaf.copy_to_host_async()
-            pending.append((batch_idx, metrics))
-            if len(pending) > LAG:
-                account(*pending.popleft())
 
-        while pending:
-            account(*pending.popleft())
+        def dispatch_chunk(first_idx):
+            mols = np.stack([m for m, _ in chunk])
+            conds = np.stack([c for _, c in chunk])
+            if self._batch_sharding is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                sh = NamedSharding(self.mesh, P(None, "data"))
+                mols, conds = jax.device_put(mols, sh), jax.device_put(conds, sh)
+            self.params, self.opt_states, metrics = multi_train_step(
+                self.params, self.opt_states, self.mcfg, tcfg,
+                mols, conds, self._next_key(), beta_arr, tf_arr)
+            start_async_copy(metrics)
+            pending.append((first_idx, metrics, len(chunk)))
+            chunk.clear()
+
+        def flush_pending(limit):
+            while len(pending) > limit:
+                first_idx, metrics, k = pending.popleft()
+                if k == 1:
+                    account(first_idx, metrics)
+                else:
+                    host = jax.device_get(metrics)
+                    for j in range(k):
+                        account(first_idx + j,
+                                {key: v[j] for key, v in host.items()})
+
+        batch_idx = -1
+        for batch_idx, (molecules, conditions) in enumerate(pbar):
+            if K > 1 and molecules.shape[0] == self.batch_size:
+                chunk.append((molecules, conditions))
+                if len(chunk) == K:
+                    dispatch_chunk(batch_idx - K + 1)
+                    flush_pending(LAG)
+                continue
+            # single-step path (K == 1, or a trailing partial batch)
+            if chunk:  # a partial batch arrived mid-chunk: flush what we have
+                if len(chunk) == 1:
+                    m, c = chunk[0]
+                    self.params, self.opt_states, metrics = train_step(
+                        self.params, self.opt_states, self.mcfg, tcfg,
+                        m, c, self._next_key(), beta_arr, tf_arr)
+                    start_async_copy(metrics)
+                    pending.append((batch_idx - 1, metrics, 1))
+                    chunk.clear()
+                else:
+                    dispatch_chunk(batch_idx - len(chunk))
+            self.params, self.opt_states, metrics = train_step(
+                self.params, self.opt_states, self.mcfg, tcfg,
+                molecules, conditions, self._next_key(), beta_arr, tf_arr)
+            start_async_copy(metrics)
+            pending.append((batch_idx, metrics, 1))
+            flush_pending(LAG)
+
+        # drain the tail: any incomplete chunk, one step at a time
+        for j, (m, c) in enumerate(chunk):
+            self.params, self.opt_states, metrics = train_step(
+                self.params, self.opt_states, self.mcfg, tcfg,
+                m, c, self._next_key(), beta_arr, tf_arr)
+            start_async_copy(metrics)
+            pending.append((batch_idx - len(chunk) + 1 + j, metrics, 1))
+        chunk.clear()
+        flush_pending(0)
 
         return {
             "loss": total_loss / max(1, num_batches),

@@ -68,3 +68,36 @@ def test_gates_shapes():
     assert h_new.shape == (4, 16) and c_new.shape == (4, 16)
     # zero gates: sigmoid=0.5, tanh(0)=0 -> c' = 0.5*c
     np.testing.assert_allclose(np.asarray(c_new), 0.5 * np.ones((4, 16)), rtol=1e-6)
+
+
+class TestCustomVJP:
+    def test_forward_matches_scan(self, key):
+        from mlx_vae_tpu.ops.lstm import lstm_sequence_cv
+        params = init_lstm_params(key, 8, 16)
+        xs = jax.random.normal(jax.random.PRNGKey(5), (3, 7, 8))
+        h0 = c0 = jnp.zeros((3, 16))
+        a, (ha, ca) = lstm_sequence(params, xs, h0, c0)
+        b, (hb, cb) = lstm_sequence_cv(params, xs, h0, c0)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ca), np.asarray(cb), rtol=1e-5, atol=1e-6)
+
+    def test_gradients_match_autodiff(self, key):
+        """Hand-written backward == autodiff backward (f32, all inputs)."""
+        from mlx_vae_tpu.ops.lstm import lstm_sequence_cv
+        params = init_lstm_params(key, 8, 16)
+        xs = jax.random.normal(jax.random.PRNGKey(6), (3, 7, 8))
+        h0 = jax.random.normal(jax.random.PRNGKey(7), (3, 16)) * 0.1
+        c0 = jax.random.normal(jax.random.PRNGKey(8), (3, 16)) * 0.1
+        # loss touches hs, h_final and c_final with distinct weights
+        def loss(fn):
+            def f(p, x, h, c):
+                hs, (hf, cf) = fn(p, x, h, c)
+                return (jnp.sum(hs * 1.3) + jnp.sum(hf * 0.7)
+                        + jnp.sum(cf * 0.3))
+            return f
+        g1 = jax.grad(loss(lstm_sequence), argnums=(0, 1, 2, 3))(params, xs, h0, c0)
+        g2 = jax.grad(loss(lstm_sequence_cv), argnums=(0, 1, 2, 3))(params, xs, h0, c0)
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-4, atol=1e-5)
