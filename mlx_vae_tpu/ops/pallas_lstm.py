@@ -31,8 +31,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Rows per grid step; 8-row granularity matches the f32 sublane tile.
-_BLOCK_B = 256
+# VMEM budget for the live in/out blocks of one grid step (the pipeline
+# double-buffers them, so actual use is ~2x this). Rows per block are derived
+# from the feature widths so large hidden sizes (e.g. H=1024 -> 4H=4096)
+# still fit the ~16MB of VMEM.
+_VMEM_BLOCK_BUDGET = 6 * 1024 * 1024
+
+
+def _block_rows(widths) -> int:
+    bytes_per_row = sum(widths) * 4  # f32
+    rows = _VMEM_BLOCK_BUDGET // (2 * bytes_per_row)
+    rows = max(8, min(256, (rows // 8) * 8))  # 8-row f32 sublane granularity
+    return rows
 
 
 def pallas_supported(gates_shape, c_shape) -> bool:
@@ -77,7 +87,7 @@ def _bwd_kernel(gates_ref, c_ref, dh_ref, dc_ref, dgates_ref, dcprev_ref):
 
 def _row_blocked_call(kernel, n_in, n_out, b, widths, dtype, interpret):
     """pallas_call helper: 1D grid over row-blocks, full feature width."""
-    block_b = min(_BLOCK_B, b)
+    block_b = min(_block_rows(widths), b)
     grid = (pl.cdiv(b, block_b),)
 
     def spec(w):
