@@ -81,28 +81,35 @@ def main(argv=None):
 
     key = jax.random.PRNGKey(0)
     all_tokens = []
-    t0 = time.perf_counter()
+    batch_times = []  # first entry includes XLA compile; excluded from rate
     remaining = args.num_molecules
     while remaining > 0:
+        # fixed-shape batches (last one padded) => exactly one compile
         b = min(args.batch_size, remaining)
         key, kz, kg = jax.random.split(key, 3)
-        z = jax.random.normal(kz, (b, mcfg.latent_dim), jnp.float32)
-        cond = jnp.broadcast_to(jnp.asarray(target), (b, args.num_conditions))
+        z = jax.random.normal(kz, (args.batch_size, mcfg.latent_dim), jnp.float32)
+        cond = jnp.broadcast_to(jnp.asarray(target),
+                                (args.batch_size, args.num_conditions))
+        t0 = time.perf_counter()
         toks = gen(dec_params, mcfg, z, cond, kg, max_length=args.max_length,
                    temperature=args.temperature, greedy=args.greedy)
-        all_tokens.append(np.asarray(toks))
+        toks = np.asarray(toks)
+        batch_times.append(time.perf_counter() - t0)
+        all_tokens.append(toks[:b])
         remaining -= b
     tokens = np.concatenate(all_tokens)[: args.num_molecules]
-    dt = time.perf_counter() - t0
 
+    steady = batch_times[1:] or batch_times
+    rate = args.batch_size * len(steady) / sum(steady)
+    dt = sum(batch_times)
     validity = selfies_validity(tokens, alphabet or [])
     print(f"Generated {len(tokens):,} molecules in {dt:.2f}s "
-          f"({len(tokens) / dt:,.0f} mols/sec)")
+          f"({rate:,.0f} mols/sec steady-state; first batch includes compile)")
     print(f"Validity: {100 * validity:.1f}%")
 
     out = {
         "tokens": tokens.tolist(),
-        "mols_per_sec": len(tokens) / dt,
+        "mols_per_sec": rate,
         "validity": validity,
         "temperature": args.temperature,
         "target": args.target,
