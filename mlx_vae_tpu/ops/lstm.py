@@ -45,7 +45,9 @@ def lstm_gates(gates: jnp.ndarray, c: jnp.ndarray,
     """
     if use_pallas:
         from mlx_vae_tpu.ops.pallas_lstm import fused_lstm_gates, pallas_supported
-        if pallas_supported(gates.shape, c.shape):
+        # Compiled Mosaic kernels need a real TPU; elsewhere fall through to
+        # the jnp path (tests exercise the kernel via interpret mode).
+        if pallas_supported(gates.shape, c.shape) and jax.default_backend() == "tpu":
             return fused_lstm_gates(gates, c)
     h = c.shape[-1]
     i = jax.nn.sigmoid(gates[..., :h])

@@ -163,3 +163,33 @@ class TestTrainerE2E:
         raw = np.load(Path(tcfg.checkpoint_dir) / "checkpoint_best.npz",
                       allow_pickle=True)
         assert "predictor_weights" in raw
+
+
+class TestStepsPerDispatch:
+    def test_fused_dispatch_matches_accounting(self, tiny_setup):
+        """K>1 path: every batch is accounted exactly once, training works,
+        and the trailing partial chunk + partial batch are handled."""
+        tmp, train_ds, val_ds, mcfg = tiny_setup
+        # 176 train molecules -> 5 full batches of 32 + partial 16:
+        # chunks of K=2 -> 2 fused dispatches + 1 single + partial single
+        tcfg = TrainConfig(epochs=1, batch_size=32, learning_rate=3e-3,
+                           checkpoint_dir=str(tmp / "ck_spd"),
+                           true_loss_batches=2, steps_per_dispatch=2)
+        vae = ARCVAE(mcfg, jax.random.PRNGKey(5))
+        trainer = ARCVAETrainer(vae.params, mcfg, tcfg, train_ds)
+        m = trainer.train_epoch(0, 1, val_dataset=val_ds)
+        assert np.isfinite(m["train_loss"]) and np.isfinite(m["val_loss"])
+
+    def test_k1_and_k4_train_similarly(self, tiny_setup):
+        tmp, train_ds, _, mcfg = tiny_setup
+        losses = {}
+        for k in (1, 4):
+            tcfg = TrainConfig(epochs=2, batch_size=32, learning_rate=3e-3,
+                               checkpoint_dir=str(tmp / f"ck_k{k}"),
+                               true_loss_batches=3, steps_per_dispatch=k)
+            vae = ARCVAE(mcfg, jax.random.PRNGKey(7))
+            trainer = ARCVAETrainer(vae.params, mcfg, tcfg, train_ds)
+            trainer.train_epoch(0, 2, val_dataset=None)
+            losses[k] = trainer.train_epoch(1, 2, val_dataset=None)["train_loss"]
+        # same data, same init, same schedule; only PRNG batching differs
+        assert abs(losses[1] - losses[4]) / losses[1] < 0.2
