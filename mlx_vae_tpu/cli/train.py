@@ -82,6 +82,14 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Use the fused Pallas LSTM gate kernel")
     parser.add_argument("--reference_zero_state", action="store_true",
                         help="Reproduce the reference decoder's zero-state quirk")
+    parser.add_argument("--bidirectional", action="store_true",
+                        help="Bi-directional encoder (what the reference README "
+                             "claims; its code is forward-only)")
+    parser.add_argument("--apply_dropout", action="store_true",
+                        help="Actually apply the --dropout rate between encoder "
+                             "layers (the reference accepts but ignores it)")
+    parser.add_argument("--profile", type=str, default=None, metavar="LOGDIR",
+                        help="Capture a jax.profiler trace of the first epoch")
     parser.add_argument("--synthetic", type=int, default=0, metavar="N",
                         help="Generate an N-molecule synthetic dataset at --data first")
     return parser
@@ -167,6 +175,8 @@ def main(argv=None):
         compute_dtype=args.compute_dtype,
         use_pallas=args.use_pallas,
         reference_zero_state=args.reference_zero_state,
+        bidirectional=args.bidirectional,
+        apply_dropout=args.apply_dropout,
     )
     tcfg = TrainConfig(
         epochs=args.epochs,
@@ -206,10 +216,13 @@ def main(argv=None):
         print(f"  Resuming from epoch {start_epoch}")
         print(f"  Best validation loss so far: {best_val_loss:.4f}")
 
+    from mlx_vae_tpu.utils.profiler import trace
+
     for epoch in range(start_epoch, args.epochs):
         print(f"\nEpoch {epoch + 1}/{args.epochs}")
-        metrics = trainer.train_epoch(epoch=epoch, total_epochs=args.epochs,
-                                      val_dataset=val_dataset)
+        with trace(args.profile if epoch == start_epoch else None):
+            metrics = trainer.train_epoch(epoch=epoch, total_epochs=args.epochs,
+                                          val_dataset=val_dataset)
 
         trainer.history["epoch"].append(epoch)
         for k in ("train_loss", "train_recon", "train_kl", "train_collapse",

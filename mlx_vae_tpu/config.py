@@ -42,6 +42,17 @@ class ModelConfig:
     start_token: int = 0
     end_token: int = 2
 
+    # Bi-directional encoder. The reference README advertises
+    # "Bi-directional processing" (``README.md:17,46``) but its code runs
+    # forward-only LSTMs (``models/encoder.py:50-58``); default False matches
+    # the code, True delivers what the README claims (per-layer forward +
+    # reverse scans, concatenated features).
+    bidirectional: bool = False
+    # Real dropout between encoder LSTM layers (rate = ``dropout``). The
+    # reference accepts the rate but never applies it (SURVEY.md §2.1);
+    # default False matches that behavior.
+    apply_dropout: bool = False
+
     # TPU-specific knobs (no reference equivalent).
     compute_dtype: str = "float32"  # matmul input dtype; "bfloat16" for MXU speed
     use_pallas: bool = False  # fused Pallas LSTM-cell gate kernel

@@ -47,10 +47,13 @@ def complete_vae_loss(
     free_bits: float = 0.5,
     lambda_mi: float = 0.0,
     target_mi: float = 4.85,
+    training: bool = True,
 ) -> dict:
-    k_rep, k_tf = jax.random.split(key)
+    k_rep, k_tf, k_drop = jax.random.split(key, 3)
 
-    mu, logvar = encoder_apply(encoder_params, cfg, x, conditions)
+    use_dropout = training and cfg.apply_dropout
+    mu, logvar = encoder_apply(encoder_params, cfg, x, conditions,
+                               dropout_key=k_drop if use_dropout else None)
     z = reparameterize(k_rep, mu, logvar)
 
     logits = decoder_apply(decoder_params, cfg, z, conditions, target_seq=x,

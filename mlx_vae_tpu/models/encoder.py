@@ -31,13 +31,17 @@ from mlx_vae_tpu.ops.lstm import init_lstm_params, lstm_sequence, lstm_sequence_
 
 
 def init_encoder_params(key, cfg: ModelConfig) -> dict:
-    keys = jax.random.split(key, cfg.num_layers + 5)
+    keys = jax.random.split(key, 2 * cfg.num_layers + 5)
     params = {"embedding": init_embedding(keys[0], cfg.vocab_size, cfg.embedding_dim)}
+    out_dim = cfg.hidden_dim * (2 if cfg.bidirectional else 1)
     for i in range(cfg.num_layers):
-        in_size = cfg.embedding_dim if i == 0 else cfg.hidden_dim
+        in_size = cfg.embedding_dim if i == 0 else out_dim
         params[f"lstm_layer_{i}"] = init_lstm_params(keys[1 + i], in_size, cfg.hidden_dim)
-    combined = 2 * cfg.hidden_dim
-    k = cfg.num_layers + 1
+        if cfg.bidirectional:
+            params[f"lstm_layer_{i}_rev"] = init_lstm_params(
+                keys[1 + cfg.num_layers + i], in_size, cfg.hidden_dim)
+    combined = out_dim + cfg.hidden_dim
+    k = 2 * cfg.num_layers + 1
     params["condition_fc"] = init_linear(keys[k], cfg.num_conditions, cfg.hidden_dim)
     params["fc_mu"] = init_linear(keys[k + 1], combined, cfg.latent_dim)
     params["fc_logvar_hidden"] = init_linear(keys[k + 2], combined, combined)
@@ -49,22 +53,39 @@ def init_encoder_params(key, cfg: ModelConfig) -> dict:
 
 
 def encoder_apply(params: dict, cfg: ModelConfig, x: jnp.ndarray,
-                  conditions: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """``x [B, L] int`` tokens, ``conditions [B, C] f32`` -> ``(mu, logvar)``."""
+                  conditions: jnp.ndarray,
+                  dropout_key=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """``x [B, L] int`` tokens, ``conditions [B, C] f32`` -> ``(mu, logvar)``.
+
+    ``dropout_key``: only used when ``cfg.apply_dropout`` (training-time
+    inter-layer dropout at rate ``cfg.dropout``); pass None for eval.
+    """
     dtype = cfg.dtype
     B = x.shape[0]
     h0 = jnp.zeros((B, cfg.hidden_dim), jnp.float32)
     c0 = jnp.zeros((B, cfg.hidden_dim), jnp.float32)
 
+    def run(layer_params, xs):
+        if cfg.custom_vjp:
+            return lstm_sequence_cv(layer_params, xs, h0, c0, dtype,
+                                    cfg.use_pallas)[0]
+        return lstm_sequence(layer_params, xs, h0, c0, dtype=dtype,
+                             use_pallas=cfg.use_pallas,
+                             unroll=cfg.scan_unroll, remat=cfg.remat)[0]
+
     output = embedding(params["embedding"], x, dtype)
     for i in range(cfg.num_layers):
-        if cfg.custom_vjp:
-            output, _ = lstm_sequence_cv(params[f"lstm_layer_{i}"], output,
-                                         h0, c0, dtype, cfg.use_pallas)
+        fwd = run(params[f"lstm_layer_{i}"], output)
+        if cfg.bidirectional:
+            bwd = run(params[f"lstm_layer_{i}_rev"], output[:, ::-1])[:, ::-1]
+            output = jnp.concatenate([fwd, bwd], axis=-1)
         else:
-            output, _ = lstm_sequence(params[f"lstm_layer_{i}"], output, h0, c0,
-                                      dtype=dtype, use_pallas=cfg.use_pallas,
-                                      unroll=cfg.scan_unroll, remat=cfg.remat)
+            output = fwd
+        if cfg.apply_dropout and dropout_key is not None and cfg.dropout > 0 \
+                and i < cfg.num_layers - 1:
+            dropout_key, dk = jax.random.split(dropout_key)
+            keep = jax.random.bernoulli(dk, 1.0 - cfg.dropout, output.shape)
+            output = jnp.where(keep, output / (1.0 - cfg.dropout), 0.0)
 
     final_hidden = output[:, -1, :]  # last-timestep pooling
     condition_repr = linear(params["condition_fc"], conditions, dtype)

@@ -134,6 +134,7 @@ def eval_step(params: dict, mcfg: ModelConfig, tcfg: TrainConfig,
         free_bits=tcfg.free_bits,
         lambda_mi=tcfg.lambda_mi,
         target_mi=tcfg.target_mi,
+        training=False,
     )
     return _scalar_metrics(d)
 

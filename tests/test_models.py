@@ -143,3 +143,48 @@ class TestFacade:
         toks = vae.generate(6, cond, jax.random.PRNGKey(3), max_length=12)
         assert toks.shape == (6, 12)
         assert toks.dtype == jnp.int32
+
+
+class TestBidirectional:
+    def test_shapes_and_direction_sensitivity(self, key):
+        cfg = ModelConfig(vocab_size=24, embedding_dim=16, hidden_dim=32,
+                          latent_dim=8, num_conditions=1, num_layers=2,
+                          bidirectional=True)
+        params = init_encoder_params(key, cfg)
+        assert "lstm_layer_0_rev" in params
+        # fc_mu input = 2H (bidir features) + H (condition proj)
+        assert params["fc_mu"]["weight"].shape == (8, 3 * 32)
+        x, cond = _data(cfg)
+        mu, logvar = encoder_apply(params, cfg, x, cond)
+        assert mu.shape == (4, 8)
+        # a bidirectional encoder must be sensitive to a change in the FIRST
+        # token even with last-step pooling (reverse scan ends there)
+        x2 = x.at[:, 0].set((x[:, 0] + 1) % cfg.vocab_size)
+        mu2, _ = encoder_apply(params, cfg, x2, cond)
+        assert float(jnp.abs(mu - mu2).max()) > 1e-6
+
+
+class TestDropout:
+    def test_dropout_only_when_enabled_and_keyed(self, key):
+        cfg = ModelConfig(vocab_size=24, embedding_dim=16, hidden_dim=32,
+                          latent_dim=8, num_conditions=1, num_layers=2,
+                          apply_dropout=True, dropout=0.5)
+        params = init_encoder_params(key, cfg)
+        x, cond = _data(cfg)
+        # no key -> deterministic (eval behavior)
+        a, _ = encoder_apply(params, cfg, x, cond)
+        b, _ = encoder_apply(params, cfg, x, cond)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # keyed -> stochastic across keys
+        c, _ = encoder_apply(params, cfg, x, cond, dropout_key=jax.random.PRNGKey(1))
+        d, _ = encoder_apply(params, cfg, x, cond, dropout_key=jax.random.PRNGKey(2))
+        assert float(jnp.abs(c - d).max()) > 1e-6
+
+    def test_flag_off_matches_reference_noop(self, tiny_cfg, key):
+        """Default: dropout accepted but not applied (reference parity)."""
+        params = init_encoder_params(key, tiny_cfg)
+        x, cond = _data(tiny_cfg)
+        a, _ = encoder_apply(params, tiny_cfg, x, cond,
+                             dropout_key=jax.random.PRNGKey(1))
+        b, _ = encoder_apply(params, tiny_cfg, x, cond)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
