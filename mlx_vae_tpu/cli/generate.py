@@ -85,11 +85,23 @@ def main(argv=None):
 
     small_vocab = mcfg.vocab_size < 256
 
+    from mlx_vae_tpu.ops.pallas_decoder import (
+        pallas_generate, pallas_generate_supported)
+    use_fused = pallas_generate_supported(mcfg, args.batch_size)
+    if use_fused:
+        print("Using fused Pallas generation kernel")
+
     def one_batch(key):
         kz, kg = jax.random.split(key)
         z = jax.random.normal(kz, (args.batch_size, mcfg.latent_dim), jnp.float32)
-        toks = gen(dec_params, mcfg, z, cond, kg, max_length=args.max_length,
-                   temperature=args.temperature, greedy=args.greedy)
+        if use_fused:
+            toks = pallas_generate(dec_params, mcfg, z, cond, kg,
+                                   max_length=args.max_length,
+                                   temperature=args.temperature,
+                                   greedy=args.greedy)
+        else:
+            toks = gen(dec_params, mcfg, z, cond, kg, max_length=args.max_length,
+                       temperature=args.temperature, greedy=args.greedy)
         # Quarter the device->host transfer when token ids fit in a byte.
         return toks.astype(jnp.uint8) if small_vocab else toks
 

@@ -1,0 +1,185 @@
+"""Fused Pallas generation kernel.
+
+One `pallas_call` runs the ENTIRE autoregressive sampling loop for a 2-layer
+decoder: token embedding (one-hot matmul), both LSTM layers, the vocab
+projection, temperature/Gumbel sampling (on-core PRNG), and EOS masking —
+with every weight matrix pinned in VMEM and the (h, c, token, ended) state
+carried in VMEM scratch across a grid that is sequential in time (TPU grids
+iterate the last dimension fastest, so ``grid=(batch_blocks, L)`` revisits
+the same scratch block for consecutive timesteps).
+
+Compared to the ``lax.scan`` sampler (``models/sampling.py``) this removes
+per-step HLO loop overhead and all HBM round-trips for the recurrent state;
+the only HBM traffic is one ``[1, BB]`` token row per step.
+
+Replaces (capability-wise) the reference's per-token Python sampling loop
+``/root/reference/models/decoder_sampling.py:85-123``. Only the ``greedy``
+path is bit-comparable to the scan sampler (the stochastic path uses the
+Mosaic PRNG instead of ``jax.random``). Supports ``num_layers == 2`` with
+lane-padded vocab/feature dims; other shapes fall back to the scan sampler.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mlx_vae_tpu.config import ModelConfig
+
+_BB = 256  # batch rows per block
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def pallas_generate_supported(cfg: ModelConfig, batch: int) -> bool:
+    return (
+        cfg.num_layers == 2
+        and cfg.hidden_dim % 128 == 0
+        and batch % 8 == 0
+        and jax.default_backend() in ("tpu",)
+    )
+
+
+def _kernel(cfg, Vp, K0, L, use_gumbel,
+            cond_ref, h0_ref, seed_ref, temp_ref,
+            emb_ref, wx0_ref, wh0_ref, b0_ref, wx1_ref, wh1_ref, b1_ref,
+            wout_ref, bout_ref,
+            tokens_ref):
+    H = cfg.hidden_dim
+    BB = h0_ref.shape[0]
+    if use_gumbel:
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    temp = jnp.maximum(temp_ref[0, 0], 1e-6)
+    cond = cond_ref[:].astype(jnp.float32)
+    pad = K0 - emb_ref.shape[1] - cond.shape[1]
+    zpad = jnp.zeros((BB, pad), jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (BB, Vp), 1)
+
+    def cell(x_in, wx, wh, b, h, c):
+        gates = (jnp.dot(x_in.astype(wx.dtype), wx,
+                         preferred_element_type=jnp.float32)
+                 + jnp.dot(h.astype(wh.dtype), wh,
+                           preferred_element_type=jnp.float32)
+                 + b[0])
+        i = jax.nn.sigmoid(gates[:, :H])
+        f = jax.nn.sigmoid(gates[:, H:2 * H])
+        g = jnp.tanh(gates[:, 2 * H:3 * H])
+        o = jax.nn.sigmoid(gates[:, 3 * H:])
+        c_new = f * c + i * g
+        return o * jnp.tanh(c_new), c_new
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (BB, L), 1)
+
+    def step(t, carry):
+        h0, c0, h1, c1, tok, ended, out = carry
+        # embedding via one-hot matmul (table is VMEM-resident)
+        oh = (col == tok).astype(emb_ref.dtype)
+        emb_x = jnp.dot(oh, emb_ref[:], preferred_element_type=jnp.float32)
+        x = jnp.concatenate([emb_x.astype(jnp.float32), cond, zpad], axis=1)
+        h0, c0 = cell(x, wx0_ref[:], wh0_ref[:], b0_ref, h0, c0)
+        h1, c1 = cell(h0, wx1_ref[:], wh1_ref[:], b1_ref, h1, c1)
+        logits = jnp.dot(h1.astype(wout_ref.dtype), wout_ref[:],
+                         preferred_element_type=jnp.float32) + bout_ref[0]
+        scaled = logits / temp
+        if use_gumbel:
+            bits = pltpu.prng_random_bits((BB, Vp))
+            # mask (not shift): bits may carry int32 semantics on TPU and an
+            # arithmetic >> would sign-extend into negative "uniforms"
+            u = (jnp.bitwise_and(bits, 0xFFFFFF).astype(jnp.float32)
+                 * (1.0 / (1 << 24)) + 1e-12)
+            scaled = scaled + (-jnp.log(-jnp.log(u)))
+        sampled = jnp.argmax(scaled, axis=1).astype(jnp.int32)[:, None]
+        tok_new = jnp.where(ended != 0, jnp.int32(cfg.pad_token), sampled)
+        ended = jnp.where(tok_new == cfg.end_token, jnp.int32(1), ended)
+        # Branchless column write (Mosaic requires 128-aligned lane offsets
+        # for dynamic stores, so a masked select updates column t instead).
+        out = jnp.where(lane == t, tok_new, out)
+        return h0, c0, h1, c1, tok_new, ended, out
+
+    h0 = h0_ref[:].astype(jnp.float32)
+    init = (h0, jnp.zeros_like(h0),
+            h0, jnp.zeros_like(h0),  # reference replicates the init per layer
+            jnp.full((BB, 1), cfg.start_token, jnp.int32),
+            jnp.zeros((BB, 1), jnp.int32),
+            jnp.zeros((BB, L), jnp.int32))
+    *_, out = jax.lax.fori_loop(0, L, step, init)
+    tokens_ref[:] = out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_length", "greedy",
+                                             "interpret"))
+def pallas_generate(params: dict, cfg: ModelConfig, z, conditions, key,
+                    max_length: int = 80, temperature=1.0,
+                    greedy: bool = False, interpret: bool = False):
+    """Drop-in replacement for ``models.sampling.generate_with_temperature``
+    on supported shapes. Returns ``[B, max_length] int32``."""
+    from mlx_vae_tpu.models.decoder import initialize_hidden_state
+
+    B = z.shape[0]
+    H, E, V, C = (cfg.hidden_dim, cfg.embedding_dim, cfg.vocab_size,
+                  cfg.num_conditions)
+    Vp = _round_up(V, 128)
+    K0 = _round_up(E + C, 128)
+    wdt = cfg.dtype
+
+    # ---- weight prep (padded, transposed for [x, h] @ W layout) ----
+    emb = jnp.zeros((Vp, E), wdt).at[:V].set(params["embedding"]["weight"].astype(wdt))
+    l0, l1 = params["lstm_layer_0"], params["lstm_layer_1"]
+    wx0 = jnp.zeros((K0, 4 * H), wdt).at[: E + C].set(l0["Wx"].T.astype(wdt))
+    wh0 = l0["Wh"].T.astype(wdt)
+    b0 = l0["bias"].astype(jnp.float32)[None]
+    wx1 = l1["Wx"].T.astype(wdt)
+    wh1 = l1["Wh"].T.astype(wdt)
+    b1 = l1["bias"].astype(jnp.float32)[None]
+    # pad vocab columns; bias -inf on pad lanes so argmax never picks them
+    wout = jnp.zeros((H, Vp), wdt).at[:, :V].set(params["fc_out"]["weight"].T.astype(wdt))
+    bout = jnp.full((1, Vp), -1e9, jnp.float32).at[0, :V].set(
+        params["fc_out"]["bias"].astype(jnp.float32))
+
+    cond_f = conditions.astype(jnp.float32)
+    h0_full, _ = initialize_hidden_state(params, cfg, z, cond_f)
+    h0 = h0_full[0]  # layers share the same init (decoder.py:102-106)
+
+    seed = jax.random.randint(key, (1,), 0, np.iinfo(np.int32).max, jnp.int32)
+    temp = jnp.asarray(temperature, jnp.float32).reshape(1, 1)
+
+    BB = min(_BB, B)
+    grid = (pl.cdiv(B, BB),)
+
+    def row_spec(w):
+        return pl.BlockSpec((BB, w), lambda ib: (ib, 0),
+                            memory_space=pltpu.VMEM)
+
+    def const_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda ib: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_kernel, cfg, Vp, K0, max_length, not greedy)
+    tokens = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            row_spec(C),                   # cond
+            row_spec(H),                   # h0
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
+            pl.BlockSpec((1, 1), lambda ib: (0, 0),
+                         memory_space=pltpu.SMEM),  # temperature
+            const_spec((Vp, E)),
+            const_spec((K0, 4 * H)), const_spec((H, 4 * H)), const_spec((1, 4 * H)),
+            const_spec((H, 4 * H)), const_spec((H, 4 * H)), const_spec((1, 4 * H)),
+            const_spec((H, Vp)), const_spec((1, Vp)),
+        ],
+        out_specs=pl.BlockSpec((BB, max_length), lambda ib: (ib, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, max_length), jnp.int32),
+        interpret=interpret,
+    )(cond_f, h0, seed, temp, emb, wx0, wh0, b0, wx1, wh1, b1, wout, bout)
+    return tokens

@@ -54,3 +54,49 @@ def test_row_blocking_covers_remainder():
     h_ref, c_ref = lstm_gates(gates, c)
     h_p, c_p = fused_lstm_gates(gates, c, True)
     np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_ref), rtol=1e-5, atol=1e-5)
+
+
+class TestFusedGeneration:
+    def test_greedy_matches_scan_sampler(self):
+        """The fused generation kernel (interpret mode) must reproduce the
+        lax.scan sampler exactly in greedy f32 mode."""
+        from mlx_vae_tpu.config import ModelConfig
+        from mlx_vae_tpu.models import generate_with_temperature, init_decoder_params
+        from mlx_vae_tpu.ops.pallas_decoder import pallas_generate
+
+        cfg = ModelConfig(vocab_size=24, embedding_dim=16, hidden_dim=128,
+                          latent_dim=8, num_conditions=1, num_layers=2)
+        params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+        z = jax.random.normal(jax.random.PRNGKey(1), (8, cfg.latent_dim))
+        cond = jax.random.normal(jax.random.PRNGKey(2), (8, 1))
+        k = jax.random.PRNGKey(3)
+        ref = generate_with_temperature(params, cfg, z, cond, k,
+                                        max_length=12, greedy=True)
+        got = pallas_generate(params, cfg, z, cond, k, max_length=12,
+                              greedy=True, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_greedy_eos_masking(self):
+        """EOS rows emit pad afterwards. (The stochastic path uses the Mosaic
+        PRNG, which has no CPU-interpret lowering — it is exercised on real
+        TPU by bench.py/generate.py.)"""
+        from mlx_vae_tpu.config import ModelConfig
+        from mlx_vae_tpu.models import init_decoder_params
+        from mlx_vae_tpu.ops.pallas_decoder import pallas_generate
+
+        cfg = ModelConfig(vocab_size=24, embedding_dim=16, hidden_dim=128,
+                          latent_dim=8, num_conditions=1, num_layers=2)
+        params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+        found_eos = 0
+        for seed in range(4):  # several z draws so some rows do hit EOS
+            z = jax.random.normal(jax.random.PRNGKey(seed), (8, cfg.latent_dim)) * 2
+            cond = jnp.zeros((8, 1))
+            toks = np.asarray(pallas_generate(params, cfg, z, cond,
+                                              jax.random.PRNGKey(3),
+                                              max_length=20, greedy=True,
+                                              interpret=True))
+            for row in toks:
+                hits = np.where(row == cfg.end_token)[0]
+                if len(hits):
+                    found_eos += 1
+                    assert np.all(row[hits[0] + 1:] == cfg.pad_token)
