@@ -172,3 +172,39 @@ def selfies_validity(token_batches, alphabet) -> float:
             nonempty = any(t > EOS for t in (toks[: toks.index(EOS)] if has_eos else toks))
             ok += has_eos and nonempty
     return ok / max(1, n)
+
+
+def main(argv=None):
+    """Dataset-prep CLI: ``python -m mlx_vae_tpu.data.prepare``."""
+    import argparse
+
+    ap = argparse.ArgumentParser(description="Prepare a molecules dataset JSON")
+    ap.add_argument("--output", required=True, help="output JSON path")
+    ap.add_argument("--smiles", default=None,
+                    help="text file of SMILES (one per line); requires selfies+rdkit")
+    ap.add_argument("--synthetic", type=int, default=0, metavar="N",
+                    help="generate an N-molecule synthetic dataset instead")
+    ap.add_argument("--max_length", type=int, default=64)
+    ap.add_argument("--vocab_size", type=int, default=80,
+                    help="(synthetic only) vocabulary size")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    if args.smiles:
+        with open(args.smiles) as f:
+            smiles = [line.strip() for line in f if line.strip()]
+        data = prepare_from_smiles(smiles, max_length=args.max_length,
+                                   path=args.output)
+        print(f"Prepared {len(data['tokenized_sequences'])} molecules "
+              f"(alphabet {len(data['alphabet'])}) -> {args.output}")
+    elif args.synthetic:
+        make_synthetic_dataset(n=args.synthetic, vocab_size=args.vocab_size,
+                               max_length=args.max_length, seed=args.seed,
+                               path=args.output)
+        print(f"Generated {args.synthetic} synthetic molecules -> {args.output}")
+    else:
+        ap.error("pass --smiles FILE or --synthetic N")
+
+
+if __name__ == "__main__":
+    main()
