@@ -66,6 +66,11 @@ def encoder_apply(params: dict, cfg: ModelConfig, x: jnp.ndarray,
     c0 = jnp.zeros((B, cfg.hidden_dim), jnp.float32)
 
     def run(layer_params, xs):
+        if cfg.use_pallas and jax.default_backend() == "tpu":
+            from mlx_vae_tpu.ops.pallas_seq_lstm import (
+                lstm_sequence_pallas, pallas_seq_supported)
+            if pallas_seq_supported(xs.shape[-1], cfg.hidden_dim, xs.shape[0]):
+                return lstm_sequence_pallas(layer_params, xs, h0, c0, dtype)[0]
         if cfg.custom_vjp:
             return lstm_sequence_cv(layer_params, xs, h0, c0, dtype,
                                     cfg.use_pallas)[0]

@@ -1,0 +1,262 @@
+"""Fused full-sequence Pallas LSTM layer (forward + hand-written backward).
+
+One `pallas_call` runs the whole recurrence for a layer: the grid is
+``(batch_blocks, L)`` — TPU grids iterate the last dimension fastest and
+sequentially, so the (h, c) VMEM scratch persists across timesteps of a
+block. Weights live in VMEM for the entire kernel; per step the only HBM
+traffic is streaming ``x_t`` in and ``(h_t, c_t, gates_t)`` out.
+
+The backward kernel runs time-reversed with a (dh, dc) scratch chain and
+accumulates ``dWx / dWh / db`` into constant-index output blocks that stay
+VMEM-resident for the whole kernel — no per-step weight-gradient matmul ever
+touches HBM (the autodiff scan emits L tiny accumulating matmuls instead,
+which dominates the train step; see docs/DESIGN.md).
+
+Supported when H and the input width are lane-aligned (%128); callers fall
+back to ``ops.lstm.lstm_sequence`` otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BB = 256  # rows per batch block (f32 state: 4 state planes * BB*H)
+
+
+def pallas_seq_supported(input_size: int, hidden: int, batch: int) -> bool:
+    return input_size % 128 == 0 and hidden % 128 == 0 and batch % 8 == 0
+
+
+# ----------------------------------------------------------------- forward
+
+
+def _fwd_kernel(H, xs_ref, h0_ref, c0_ref, w_ref, b_ref,
+                hs_ref, cs_ref, gates_ref, hf_ref, cf_ref,
+                h_scr, c_scr):
+    t = pl.program_id(1)
+    L = pl.num_programs(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = h0_ref[:]
+        c_scr[:] = c0_ref[:]
+
+    x = xs_ref[0]
+    inp = jnp.concatenate([x, h_scr[:].astype(x.dtype)], axis=1)
+    gates = jnp.dot(inp, w_ref[:], preferred_element_type=jnp.float32) + b_ref[0]
+    i = jax.nn.sigmoid(gates[:, :H])
+    f = jax.nn.sigmoid(gates[:, H:2 * H])
+    g = jnp.tanh(gates[:, 2 * H:3 * H])
+    o = jax.nn.sigmoid(gates[:, 3 * H:])
+    c_new = f * c_scr[:] + i * g
+    h_new = o * jnp.tanh(c_new)
+    h_scr[:] = h_new
+    c_scr[:] = c_new
+    hs_ref[0] = h_new
+    cs_ref[0] = c_new
+    gates_ref[0] = gates.astype(gates_ref.dtype)
+
+    @pl.when(t == L - 1)
+    def _():
+        hf_ref[:] = h_new
+        cf_ref[:] = c_new
+
+
+# ---------------------------------------------------------------- backward
+
+
+def _bwd_kernel(H, I, gates_ref, cs_ref, csp_ref, hsp_ref, xs_ref,
+                h0_ref, c0_ref, w_ref, dhs_ref, dhf_ref, dcf_ref,
+                dxs_ref, dwx_ref, dwh_ref, db_ref, dh0_ref, dc0_ref,
+                dh_scr, dc_scr):
+    tg = pl.program_id(1)
+    L = pl.num_programs(1)
+    t = L - 1 - tg
+    ib = pl.program_id(0)
+
+    @pl.when(jnp.logical_and(ib == 0, tg == 0))
+    def _():
+        dwx_ref[:] = jnp.zeros_like(dwx_ref)
+        dwh_ref[:] = jnp.zeros_like(dwh_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    @pl.when(tg == 0)
+    def _():
+        dh_scr[:] = dhf_ref[:]
+        dc_scr[:] = dcf_ref[:]
+
+    g_all = gates_ref[0].astype(jnp.float32)
+    i = jax.nn.sigmoid(g_all[:, :H])
+    f = jax.nn.sigmoid(g_all[:, H:2 * H])
+    g = jnp.tanh(g_all[:, 2 * H:3 * H])
+    o = jax.nn.sigmoid(g_all[:, 3 * H:])
+    first = (t == 0)
+    c_prev = jnp.where(first, c0_ref[:], csp_ref[0])
+    h_prev = jnp.where(first, h0_ref[:], hsp_ref[0])
+    c_t = cs_ref[0]
+    tc = jnp.tanh(c_t)
+
+    dh_total = dh_scr[:] + dhs_ref[0]
+    dc_tot = dc_scr[:] + dh_total * o * (1.0 - tc * tc)
+    dgates = jnp.concatenate([
+        dc_tot * g * i * (1.0 - i),
+        dc_tot * c_prev * f * (1.0 - f),
+        dc_tot * i * (1.0 - g * g),
+        dh_total * tc * o * (1.0 - o),
+    ], axis=1)
+    dgates_c = dgates.astype(w_ref.dtype)
+
+    # d(input) = dgates @ W^T, split into the x part (out) and the h chain.
+    dinp = jax.lax.dot_general(
+        dgates_c, w_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dxs_ref[0] = dinp[:, :I]
+    dh_scr[:] = dinp[:, I:]
+    dc_scr[:] = dc_tot * f
+
+    x = xs_ref[0]
+    # dWx += x^T @ dgates ; dWh += h_prev^T @ dgates (contract batch dim)
+    dwx_ref[:] += jax.lax.dot_general(
+        x, dgates_c, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dwh_ref[:] += jax.lax.dot_general(
+        h_prev.astype(w_ref.dtype), dgates_c, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db_ref[0] += jnp.sum(dgates, axis=0)
+
+    @pl.when(tg == L - 1)
+    def _():
+        dh0_ref[:] = dh_scr[:]
+        dc0_ref[:] = dc_scr[:]
+
+
+# ----------------------------------------------------------------- wrapper
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def lstm_sequence_pallas(params: dict, xs, h0, c0, dtype=jnp.float32,
+                         interpret: bool = False):
+    """Drop-in ``lstm_sequence`` on supported shapes: fused Pallas fwd/bwd.
+
+    ``xs [B, L, I]`` -> ``(hs [B, L, H], (h_final, c_final))``.
+    """
+    (out, _) = _fwd(params, xs, h0, c0, dtype, interpret)
+    return out
+
+
+def _fwd(params, xs, h0, c0, dtype, interpret):
+    B, L, I = xs.shape
+    H = h0.shape[-1]
+    w = jnp.concatenate([params["Wx"].T, params["Wh"].T], axis=0).astype(dtype)
+    bias = params["bias"].astype(jnp.float32)[None]
+    xs_t = jnp.swapaxes(xs, 0, 1).astype(dtype)  # [L, B, I]
+
+    BB = min(_BB, B)
+    grid = (pl.cdiv(B, BB), L)
+    tb = lambda wdt: pl.BlockSpec((1, BB, wdt), lambda ib, t: (t, ib, 0),
+                                  memory_space=pltpu.VMEM)
+    row = lambda wdt: pl.BlockSpec((BB, wdt), lambda ib, t: (ib, 0),
+                                   memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(shape, lambda ib, t: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+
+    store_dtype = dtype
+    hs_t, cs_t, gates_t, hf, cf = pl.pallas_call(
+        functools.partial(_fwd_kernel, H),
+        grid=grid,
+        in_specs=[tb(I), row(H), row(H), const((I + H, 4 * H)), const((1, 4 * H))],
+        out_specs=(tb(H), tb(H), tb(4 * H), row(H), row(H)),
+        out_shape=(
+            jax.ShapeDtypeStruct((L, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((L, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((L, B, 4 * H), store_dtype),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((BB, H), jnp.float32),
+                        pltpu.VMEM((BB, H), jnp.float32)],
+        interpret=interpret,
+    )(xs_t, h0, c0, w, bias)
+
+    hs = jnp.swapaxes(hs_t, 0, 1)
+    residuals = (params, xs, h0, c0, hs_t, cs_t, gates_t)
+    return ((hs, (hf, cf)), residuals)
+
+
+def _fwd_rule(params, xs, h0, c0, dtype, interpret):
+    return _fwd(params, xs, h0, c0, dtype, interpret)
+
+
+def _bwd_rule(dtype, interpret, residuals, cotangents):
+    params, xs, h0, c0, hs_t, cs_t, gates_t = residuals
+    dhs, (dhf, dcf) = cotangents
+    L, B, H = hs_t.shape
+    I = xs.shape[-1]
+
+    w = jnp.concatenate([params["Wx"].T, params["Wh"].T], axis=0).astype(dtype)
+    xs_t = jnp.swapaxes(xs, 0, 1).astype(dtype)
+    dhs_t = jnp.swapaxes(dhs, 0, 1).astype(jnp.float32)
+    dhf = dhf.astype(jnp.float32)
+    dcf = dcf.astype(jnp.float32)
+
+    BB = min(_BB, B)
+    grid = (pl.cdiv(B, BB), L)
+
+    def rev(ib, tg):
+        return (L - 1 - tg, ib, 0)
+
+    def rev_prev(ib, tg):
+        return (jnp.maximum(L - 2 - tg, 0), ib, 0)
+
+    tbr = lambda wdt: pl.BlockSpec((1, BB, wdt), rev, memory_space=pltpu.VMEM)
+    tbp = lambda wdt: pl.BlockSpec((1, BB, wdt), rev_prev, memory_space=pltpu.VMEM)
+    row = lambda wdt: pl.BlockSpec((BB, wdt), lambda ib, tg: (ib, 0),
+                                   memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(shape, lambda ib, tg: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+
+    dxs_t, dwx_t, dwh_t, db, dh0, dc0 = pl.pallas_call(
+        functools.partial(_bwd_kernel, H, I),
+        grid=grid,
+        in_specs=[
+            tbr(4 * H),  # gates_t
+            tbr(H),      # cs (c_t)
+            tbp(H),      # cs_prev
+            tbp(H),      # hs_prev
+            tbr(I),      # xs
+            row(H), row(H),              # h0, c0
+            const((I + H, 4 * H)),       # w
+            tbr(H),                      # dhs
+            row(H), row(H),              # dhf, dcf
+        ],
+        out_specs=(
+            tbr(I),                       # dxs (time-major, reversed writes)
+            const((I, 4 * H)),            # dWx^T-layout [I, 4H]
+            const((H, 4 * H)),            # dWh^T-layout [H, 4H]
+            const((1, 4 * H)),            # dbias
+            row(H), row(H),               # dh0, dc0
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((L, B, I), jnp.float32),
+            jax.ShapeDtypeStruct((I, 4 * H), jnp.float32),
+            jax.ShapeDtypeStruct((H, 4 * H), jnp.float32),
+            jax.ShapeDtypeStruct((1, 4 * H), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((BB, H), jnp.float32),
+                        pltpu.VMEM((BB, H), jnp.float32)],
+        interpret=interpret,
+    )(gates_t, cs_t, cs_t, hs_t, xs_t, h0, c0, w, dhs_t, dhf, dcf)
+
+    dparams = {"Wx": dwx_t.T, "Wh": dwh_t.T, "bias": db[0]}
+    dxs = jnp.swapaxes(dxs_t, 0, 1)
+    return dparams, dxs, dh0, dc0
+
+
+lstm_sequence_pallas.defvjp(_fwd_rule, _bwd_rule)

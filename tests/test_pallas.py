@@ -100,3 +100,49 @@ class TestFusedGeneration:
                 if len(hits):
                     found_eos += 1
                     assert np.all(row[hits[0] + 1:] == cfg.pad_token)
+
+
+class TestFusedSequenceLSTM:
+    def _setup(self, I=128, H=128, B=16, L=7):
+        from mlx_vae_tpu.ops.lstm import init_lstm_params
+        params = init_lstm_params(jax.random.PRNGKey(0), I, H)
+        xs = jax.random.normal(jax.random.PRNGKey(1), (B, L, I))
+        h0 = jax.random.normal(jax.random.PRNGKey(2), (B, H)) * 0.1
+        c0 = jax.random.normal(jax.random.PRNGKey(3), (B, H)) * 0.1
+        return params, xs, h0, c0
+
+    def test_forward_matches_scan(self):
+        from mlx_vae_tpu.ops.lstm import lstm_sequence
+        from mlx_vae_tpu.ops.pallas_seq_lstm import lstm_sequence_pallas
+        params, xs, h0, c0 = self._setup()
+        a, (ha, ca) = lstm_sequence(params, xs, h0, c0)
+        b, (hb, cb) = lstm_sequence_pallas(params, xs, h0, c0,
+                                           jnp.float32, True)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(hb), np.asarray(ha),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(cb), np.asarray(ca),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_gradients_match_autodiff(self):
+        from mlx_vae_tpu.ops.lstm import lstm_sequence
+        from mlx_vae_tpu.ops.pallas_seq_lstm import lstm_sequence_pallas
+        params, xs, h0, c0 = self._setup()
+
+        def loss(fn):
+            def f(p, x, h, c):
+                hs, (hf, cf) = fn(p, x, h, c)
+                return (jnp.sum(hs * 1.3) + jnp.sum(hf * 0.7)
+                        + jnp.sum(cf * 0.3))
+            return f
+
+        g1 = jax.grad(loss(lstm_sequence), argnums=(0, 1, 2, 3))(
+            params, xs, h0, c0)
+        g2 = jax.grad(loss(lambda p, x, h, c:
+                           lstm_sequence_pallas(p, x, h, c, jnp.float32, True)),
+                      argnums=(0, 1, 2, 3))(params, xs, h0, c0)
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-4, atol=1e-4)
