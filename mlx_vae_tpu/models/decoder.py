@@ -102,6 +102,19 @@ def decoder_apply(
             raise ValueError("decoder_apply with target_seq requires a PRNG key")
         # Batch-global per-timestep coin flips (reference decoder.py:180).
         tf_mask = jax.random.uniform(key, (L,)) < teacher_forcing_ratio
+
+        # Fused Pallas training-decoder path (see ops/pallas_train_decoder.py).
+        if (cfg.use_pallas and not cfg.reference_zero_state
+                and jax.default_backend() == "tpu"):
+            from mlx_vae_tpu.ops.pallas_train_decoder import (
+                decoder_train_pallas, pallas_train_decoder_supported)
+            if pallas_train_decoder_supported(cfg, B):
+                hidden_z = linear(params["z_to_hidden"], z, cfg.dtype)
+                hidden_c = linear(params["condition_to_hidden"], cond_f, cfg.dtype)
+                h_init = (hidden_z + hidden_c) / 2.0
+                return decoder_train_pallas(params, cfg, h_init, cond_f,
+                                            target_seq.astype(jnp.int32),
+                                            False, tf_mask)
     else:
         L = max_length
         targets_t = jnp.zeros((L, B), jnp.int32)

@@ -146,3 +146,84 @@ class TestFusedSequenceLSTM:
                         jax.tree_util.tree_leaves(g2)):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        rtol=1e-4, atol=1e-4)
+
+
+class TestFusedTrainDecoder:
+    def _setup(self):
+        from mlx_vae_tpu.config import ModelConfig
+        from mlx_vae_tpu.models import init_decoder_params
+        cfg = ModelConfig(vocab_size=24, embedding_dim=16, hidden_dim=128,
+                          latent_dim=8, num_conditions=1, num_layers=2)
+        params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+        B, L = 8, 9
+        z = jax.random.normal(jax.random.PRNGKey(1), (B, cfg.latent_dim))
+        cond = jax.random.normal(jax.random.PRNGKey(2), (B, 1))
+        targets = jax.random.randint(jax.random.PRNGKey(3), (B, L), 0,
+                                     cfg.vocab_size)
+        tf_mask = jnp.asarray([1, 0, 1, 1, 0, 1, 0, 1, 1], bool)
+        return cfg, params, z, cond, targets, tf_mask
+
+    def _scan_logits(self, cfg, params, z, cond, targets, tf_mask):
+        """Run the scan decoder with an explicit tf_mask by monkeypatching
+        the PRNG draw: rebuild its internals here for exactness."""
+        from mlx_vae_tpu.models.decoder import (_stacked_cell,
+                                                initialize_hidden_state)
+        from mlx_vae_tpu.models.layers import embedding, linear
+        cond_f = cond.astype(jnp.float32)
+        h, c = initialize_hidden_state(params, cfg, z, cond_f)
+        token = jnp.full((z.shape[0],), cfg.start_token, jnp.int32)
+        logits_all = []
+        for t in range(targets.shape[1]):
+            emb = embedding(params["embedding"], token, cfg.dtype,
+                            onehot=cfg.embed_onehot)
+            x = jnp.concatenate([emb.astype(jnp.float32), cond_f], axis=1)
+            out, h, c = _stacked_cell(params, cfg, x, h, c)
+            logits = linear(params["fc_out"], out, cfg.dtype)
+            pred = jnp.argmax(logits, axis=1).astype(jnp.int32)
+            token = jnp.where(tf_mask[t], targets[:, t].astype(jnp.int32), pred)
+            logits_all.append(logits)
+        return jnp.stack(logits_all, axis=1)
+
+    def test_forward_matches_scan(self):
+        from mlx_vae_tpu.ops.pallas_train_decoder import decoder_train_pallas
+        from mlx_vae_tpu.models.layers import linear
+        cfg, params, z, cond, targets, tf_mask = self._setup()
+        ref = self._scan_logits(cfg, params, z, cond, targets, tf_mask)
+        cond_f = cond.astype(jnp.float32)
+        h_init = (linear(params["z_to_hidden"], z, cfg.dtype)
+                  + linear(params["condition_to_hidden"], cond_f, cfg.dtype)) / 2.0
+        got = decoder_train_pallas(params, cfg, h_init, cond_f, targets,
+                                   True, tf_mask)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_gradients_match_autodiff(self):
+        from mlx_vae_tpu.ops.pallas_train_decoder import decoder_train_pallas
+        from mlx_vae_tpu.models.layers import linear
+        cfg, params, z, cond, targets, tf_mask = self._setup()
+        cond_f = cond.astype(jnp.float32)
+        w = jax.random.normal(jax.random.PRNGKey(9),
+                              (targets.shape[1], cfg.vocab_size))
+
+        def loss_ref(p, zz, cc):
+            logits = self._scan_logits(cfg, p, zz, cc, targets, tf_mask)
+            return jnp.sum(logits * w[None])
+
+        def loss_pal(p, zz, cc):
+            ccf = cc.astype(jnp.float32)
+            h_init = (linear(p["z_to_hidden"], zz, cfg.dtype)
+                      + linear(p["condition_to_hidden"], ccf, cfg.dtype)) / 2.0
+            logits = decoder_train_pallas(p, cfg, h_init, ccf, targets,
+                                          True, tf_mask)
+            return jnp.sum(logits * w[None])
+
+        g1 = jax.grad(loss_ref, argnums=(0, 1, 2))(params, z, cond)
+        g2 = jax.grad(loss_pal, argnums=(0, 1, 2))(params, z, cond)
+        flat1 = jax.tree_util.tree_leaves_with_path(g1)
+        flat2 = {jax.tree_util.keystr(k): v
+                 for k, v in jax.tree_util.tree_leaves_with_path(g2)}
+        for k, a in flat1:
+            b = flat2[jax.tree_util.keystr(k)]
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-4,
+                err_msg=f"grad mismatch at {jax.tree_util.keystr(k)}")
