@@ -153,3 +153,92 @@ def monitor_step(encoder_params: dict, mcfg: ModelConfig, x, conditions):
         "mutual_info": mi,
     }
     return stats
+
+
+def make_shmap_train_step(mesh, mcfg: ModelConfig, tcfg: TrainConfig):
+    """SPMD train step via ``jax.shard_map`` over the mesh's 'data' axis.
+
+    Unlike plain jit-with-shardings (where the partitioner must reason about
+    custom calls), shard_map hands each device its LOCAL batch shard — so the
+    fused Pallas kernels run per-shard unchanged — and the gradient
+    all-reduce is an explicit ``jax.lax.pmean`` over ICI. Params/optimizer
+    states are replicated; every shard applies the identical (pmean'd)
+    update, keeping them bitwise in sync.
+
+    PRNG: the per-shard key is ``fold_in(key, axis_index)`` so
+    reparameterization noise differs across shards (the teacher-forcing mask
+    therefore also differs per shard — statistically equivalent to the
+    reference's batch-global coin flips).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    def local_step(params, opt_states, x, conditions, key, beta, tf_ratio):
+        key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+        has_predictor = "predictor" in params
+
+        def loss_fn(p):
+            d = complete_vae_loss(
+                p["encoder"], p["decoder"], p.get("predictor"), mcfg,
+                x, conditions, key,
+                beta=beta, lambda_prop=tcfg.lambda_prop,
+                lambda_collapse=tcfg.lambda_collapse,
+                teacher_forcing_ratio=tf_ratio, free_bits=tcfg.free_bits,
+                lambda_mi=tcfg.lambda_mi, target_mi=tcfg.target_mi,
+            )
+            return d["total_loss"], d
+
+        (_, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        grads = jax.lax.pmean(grads, "data")
+        metrics = jax.lax.pmean(_scalar_metrics(loss_dict), "data")
+
+        names = ["encoder", "decoder"] + (["predictor"] if has_predictor else [])
+        grad_tuple = tuple(grads[n] for n in names)
+        if tcfg.grad_clip > 0:
+            grad_tuple, grad_norm = clip_by_global_norm(grad_tuple, tcfg.grad_clip)
+        else:
+            from mlx_vae_tpu.utils.tree import global_norm
+            grad_norm = global_norm(*grad_tuple)
+
+        new_params, new_states = {}, {}
+        for name, g in zip(names, grad_tuple):
+            new_params[name], new_states[name] = adam_update(
+                params[name], g, opt_states[name], tcfg.learning_rate,
+                b1=tcfg.adam_b1, b2=tcfg.adam_b2, eps=tcfg.adam_eps,
+                bias_correction=tcfg.adam_bias_correction,
+            )
+        metrics["grad_norm"] = grad_norm
+        return new_params, new_states, metrics
+
+    shmap = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(), P("data"), P("data"), P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(shmap, donate_argnums=(0, 1))
+
+
+def make_shmap_eval_step(mesh, mcfg: ModelConfig, tcfg: TrainConfig):
+    """SPMD eval step (loss forward, metrics pmean'd over 'data')."""
+    from jax.sharding import PartitionSpec as P
+
+    def local_eval(params, x, conditions, key, beta, tf_ratio):
+        key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+        d = complete_vae_loss(
+            params["encoder"], params["decoder"], params.get("predictor"),
+            mcfg, x, conditions, key,
+            beta=beta, lambda_prop=tcfg.lambda_prop,
+            lambda_collapse=tcfg.lambda_collapse,
+            teacher_forcing_ratio=tf_ratio, free_bits=tcfg.free_bits,
+            lambda_mi=tcfg.lambda_mi, target_mi=tcfg.target_mi,
+            training=False,
+        )
+        return jax.lax.pmean(_scalar_metrics(d), "data")
+
+    shmap = jax.shard_map(
+        local_eval, mesh=mesh,
+        in_specs=(P(), P("data"), P("data"), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(shmap)

@@ -100,9 +100,17 @@ class ARCVAETrainer:
 
         self.params = params
         self.opt_states = {name: adam_init(p) for name, p in params.items()}
+        self._shmap_step = None
+        self._shmap_eval = None
         if self.mesh is not None:
             self.opt_states = jax.device_put(
                 self.opt_states, replicated_sharding(self.mesh))
+            # SPMD via shard_map: per-device local batches (Pallas-kernel
+            # compatible), explicit pmean grad all-reduce over ICI.
+            from mlx_vae_tpu.train.steps import (make_shmap_eval_step,
+                                                 make_shmap_train_step)
+            self._shmap_step = make_shmap_train_step(self.mesh, mcfg, tcfg)
+            self._shmap_eval = make_shmap_eval_step(self.mesh, mcfg, tcfg)
 
     # ---------------------------------------------------------------- utils
 
@@ -218,8 +226,16 @@ class ARCVAETrainer:
             if batch_idx % 10 == 0 and hasattr(pbar, "set_postfix"):
                 pbar.set_postfix({"loss": f"{loss_val:.4f}"})
 
-        K = max(1, tcfg.steps_per_dispatch)
+        # Under a mesh, steps go through shard_map one batch at a time.
+        K = 1 if self.mesh is not None else max(1, tcfg.steps_per_dispatch)
         chunk = []  # host batches awaiting a fused dispatch
+
+        def one_step(m, c):
+            if self._shmap_step is not None:
+                return self._shmap_step(self.params, self.opt_states, m, c,
+                                        self._next_key(), beta_arr, tf_arr)
+            return train_step(self.params, self.opt_states, self.mcfg, tcfg,
+                              m, c, self._next_key(), beta_arr, tf_arr)
 
         def start_async_copy(metrics):
             for leaf in jax.tree_util.tree_leaves(metrics):
@@ -263,26 +279,20 @@ class ARCVAETrainer:
             if chunk:  # a partial batch arrived mid-chunk: flush what we have
                 if len(chunk) == 1:
                     m, c = chunk[0]
-                    self.params, self.opt_states, metrics = train_step(
-                        self.params, self.opt_states, self.mcfg, tcfg,
-                        m, c, self._next_key(), beta_arr, tf_arr)
+                    self.params, self.opt_states, metrics = one_step(m, c)
                     start_async_copy(metrics)
                     pending.append((batch_idx - 1, metrics, 1))
                     chunk.clear()
                 else:
                     dispatch_chunk(batch_idx - len(chunk))
-            self.params, self.opt_states, metrics = train_step(
-                self.params, self.opt_states, self.mcfg, tcfg,
-                molecules, conditions, self._next_key(), beta_arr, tf_arr)
+            self.params, self.opt_states, metrics = one_step(molecules, conditions)
             start_async_copy(metrics)
             pending.append((batch_idx, metrics, 1))
             flush_pending(LAG)
 
         # drain the tail: any incomplete chunk, one step at a time
         for j, (m, c) in enumerate(chunk):
-            self.params, self.opt_states, metrics = train_step(
-                self.params, self.opt_states, self.mcfg, tcfg,
-                m, c, self._next_key(), beta_arr, tf_arr)
+            self.params, self.opt_states, metrics = one_step(m, c)
             start_async_copy(metrics)
             pending.append((batch_idx - len(chunk) + 1 + j, metrics, 1))
         chunk.clear()
@@ -311,9 +321,13 @@ class ARCVAETrainer:
                 self._batches(dataset, shuffle=False)):
             if max_batches is not None and batch_idx >= max_batches:
                 break
-            m = eval_step(self.params, self.mcfg, self.tcfg,
-                          molecules, conditions, self._next_key(),
-                          beta_arr, tf_zero)
+            if self._shmap_eval is not None:
+                m = self._shmap_eval(self.params, molecules, conditions,
+                                     self._next_key(), beta_arr, tf_zero)
+            else:
+                m = eval_step(self.params, self.mcfg, self.tcfg,
+                              molecules, conditions, self._next_key(),
+                              beta_arr, tf_zero)
             for leaf in jax.tree_util.tree_leaves(m):
                 if hasattr(leaf, "copy_to_host_async"):
                     leaf.copy_to_host_async()

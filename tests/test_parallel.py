@@ -111,3 +111,27 @@ def test_data_parallel_trainer_epoch(tmp_path):
     assert trainer.mesh is not None
     m = trainer.train_epoch(0, 1, val_dataset=val_ds)
     assert np.isfinite(m["train_loss"]) and np.isfinite(m["val_loss"])
+
+
+@requires_8
+def test_shmap_train_step_replicated_and_finite():
+    """shard_map SPMD step: loss finite, updated params identical on every
+    device (replicated after the pmean'd update)."""
+    from mlx_vae_tpu.train.steps import make_shmap_train_step
+    mcfg, tcfg, vae, x, cond = _tiny(32)
+    mesh = make_mesh()
+    step = make_shmap_train_step(mesh, mcfg, tcfg)
+    params = jax.device_put(vae.params, replicated_sharding(mesh))
+    opt = jax.device_put({n: adam_init(p) for n, p in params.items()},
+                         replicated_sharding(mesh))
+    xb = jax.device_put(x, batch_sharding(mesh))
+    condb = jax.device_put(cond, batch_sharding(mesh))
+    newp, newo, m = step(params, opt, xb, condb, jax.random.PRNGKey(0),
+                         jnp.float32(0.05), jnp.float32(0.9))
+    assert np.isfinite(float(m["total_loss"]))
+    w = newp["decoder"]["fc_out"]["weight"]
+    shards = [np.asarray(s.data) for s in w.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(s, shards[0])
+    # params actually moved
+    assert float(jnp.abs(w - vae.params["decoder"]["fc_out"]["weight"]).max()) > 0
