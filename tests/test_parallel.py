@@ -121,6 +121,8 @@ def test_shmap_train_step_replicated_and_finite():
     mcfg, tcfg, vae, x, cond = _tiny(32)
     mesh = make_mesh()
     step = make_shmap_train_step(mesh, mcfg, tcfg)
+    # snapshot before the step: the donated input may alias these buffers
+    w_before = np.asarray(vae.params["decoder"]["fc_out"]["weight"]).copy()
     params = jax.device_put(vae.params, replicated_sharding(mesh))
     opt = jax.device_put({n: adam_init(p) for n, p in params.items()},
                          replicated_sharding(mesh))
@@ -134,4 +136,4 @@ def test_shmap_train_step_replicated_and_finite():
     for s in shards[1:]:
         np.testing.assert_array_equal(s, shards[0])
     # params actually moved
-    assert float(jnp.abs(w - vae.params["decoder"]["fc_out"]["weight"]).max()) > 0
+    assert float(jnp.abs(w - w_before).max()) > 0
