@@ -25,11 +25,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BB = 256  # rows per batch block (f32 state: 4 state planes * BB*H)
+_BB = 256  # rows per batch block at H<=256; halved above (VMEM live set ~ H)
+
+
+def _block_rows(H: int, B: int) -> int:
+    return min(_BB if H <= 256 else 128, B)
 
 
 def pallas_seq_supported(input_size: int, hidden: int, batch: int) -> bool:
-    return input_size % 128 == 0 and hidden % 128 == 0 and batch % 8 == 0
+    # hidden <= 512 keeps the VMEM-resident weights + dW accumulators + live
+    # blocks inside the ~16MB budget; larger hidden falls back to the scan.
+    return (input_size % 128 == 0 and hidden % 128 == 0 and batch % 8 == 0
+            and hidden <= 512)
 
 
 # ----------------------------------------------------------------- forward
@@ -156,7 +163,7 @@ def _fwd(params, xs, h0, c0, dtype, interpret):
     bias = params["bias"].astype(jnp.float32)[None]
     xs_t = jnp.swapaxes(xs, 0, 1).astype(dtype)  # [L, B, I]
 
-    BB = min(_BB, B)
+    BB = _block_rows(H, B)
     grid = (pl.cdiv(B, BB), L)
     tb = lambda wdt: pl.BlockSpec((1, BB, wdt), lambda ib, t: (t, ib, 0),
                                   memory_space=pltpu.VMEM)
@@ -204,7 +211,7 @@ def _bwd_rule(dtype, interpret, residuals, cotangents):
     dhf = dhf.astype(jnp.float32)
     dcf = dcf.astype(jnp.float32)
 
-    BB = min(_BB, B)
+    BB = _block_rows(H, B)
     grid = (pl.cdiv(B, BB), L)
 
     def rev(ib, tg):

@@ -32,13 +32,22 @@ from jax.experimental.pallas import tpu as pltpu
 _BB = 256
 
 
+def _block_rows(H: int, B: int) -> int:
+    """Batch rows per block: the bwd kernel's live set scales with H
+    (weights + dW accumulators + (1, BB, 4H) streamed blocks); measured on
+    v5e, BB=256 fits at H=256 but OOMs scoped VMEM at H>=384."""
+    return min(_BB if H <= 256 else 128, B)
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
 def pallas_train_decoder_supported(cfg, batch: int) -> bool:
+    # hidden <= 512: VMEM budget for two layers' weights + all gradient
+    # accumulators (see module docstring); other shapes use the scan decoder.
     return (cfg.num_layers == 2 and cfg.hidden_dim % 128 == 0
-            and batch % 8 == 0)
+            and batch % 8 == 0 and cfg.hidden_dim <= 512)
 
 
 def _acts(gates, H):
@@ -285,7 +294,7 @@ def _dec_fwd(params, cfg, h_init, conditions, target_seq, interpret, tf_mask):
     tf_i = tf_mask.astype(jnp.int32).reshape(L, 1)
     cond_f = conditions.astype(jnp.float32)
 
-    BB = min(_BB, B)
+    BB = _block_rows(H, B)
     grid = (pl.cdiv(B, BB), L)
     tb = lambda w_: pl.BlockSpec((1, BB, w_), lambda ib, t: (t, ib, 0),
                                  memory_space=pltpu.VMEM)
@@ -349,7 +358,7 @@ def _dec_bwd_rule(cfg, interpret, residuals, dlogits):
         jnp.swapaxes(dlogits.astype(jnp.float32), 0, 1))
     cond_f = conditions.astype(jnp.float32)
 
-    BB = min(_BB, B)
+    BB = _block_rows(H, B)
     grid = (pl.cdiv(B, BB), L)
 
     def rev(ib, tg):
