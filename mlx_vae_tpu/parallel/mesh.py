@@ -75,11 +75,20 @@ def param_pspec(path: tuple) -> P:
 
 
 def shard_params(mesh: Mesh, params, model_parallel: bool = False):
-    """device_put a param tree: replicated, or model-axis sharded leaves."""
+    """device_put a param tree: replicated, or model-axis sharded leaves.
+
+    Leaves whose dimensions don't divide the mesh axis (e.g. a 1-element
+    predictor-head bias) fall back to replication.
+    """
     if not model_parallel:
         return jax.device_put(params, replicated_sharding(mesh))
 
     def put(path, leaf):
-        return jax.device_put(leaf, NamedSharding(mesh, param_pspec(path)))
+        spec = param_pspec(path)
+        for dim, axis in zip(leaf.shape, spec):
+            if axis is not None and dim % mesh.shape[axis] != 0:
+                spec = P()
+                break
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(put, params)
