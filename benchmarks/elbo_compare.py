@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""ELBO-curve comparison harness.
+
+The driver's parity target is "50-epoch ChEMBL-CNS ELBO curve within 1% of
+the reference". The MLX reference cannot run in this environment (no MLX, no
+Apple GPU, and the ChEMBL blob is absent upstream), so this harness does the
+next-best parity exercise on a shared synthetic corpus:
+
+* trains two configurations — the default (fixed decoder state threading)
+  and ``--reference_zero_state`` (the reference's exact decoder semantics,
+  SURVEY.md §2.1) — with identical data/seeds/schedules,
+* records the per-epoch ELBO proxy (recon + beta*KL at TF=0, i.e. the
+  "true loss" both codebases report) for each,
+* writes a side-by-side JSON + relative-gap summary.
+
+Usage: ``python benchmarks/elbo_compare.py --epochs 10`` (TPU, ~minutes).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+
+
+def run(mode_name, mcfg, tcfg, train_ds, val_ds, epochs):
+    from mlx_vae_tpu.models import ARCVAE
+    from mlx_vae_tpu.train.trainer import ARCVAETrainer
+
+    vae = ARCVAE(mcfg, jax.random.PRNGKey(tcfg.seed))
+    trainer = ARCVAETrainer(vae.params, mcfg, tcfg, train_ds)
+    curve = []
+    for epoch in range(epochs):
+        m = trainer.train_epoch(epoch, epochs, val_dataset=val_ds)
+        elbo = m["train_recon"] + m["beta"] * m["train_kl"]
+        curve.append({
+            "epoch": epoch, "elbo": elbo,
+            "train_loss": m["train_loss"], "val_loss": m["val_loss"],
+            "recon": m["train_recon"], "kl": m["train_kl"],
+            "mutual_info": m["mutual_info"],
+        })
+        print(f"[{mode_name}] epoch {epoch + 1}/{epochs}: "
+              f"elbo={elbo:.4f} val={m['val_loss']:.4f} mi={m['mutual_info']:.3f}",
+              flush=True)
+    return curve
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--molecules", type=int, default=20000)
+    ap.add_argument("--batch_size", type=int, default=256)
+    ap.add_argument("--output", default="benchmarks/elbo_compare.json")
+    args = ap.parse_args()
+
+    from mlx_vae_tpu.config import ModelConfig, TrainConfig
+    from mlx_vae_tpu.data.prepare import make_synthetic_dataset
+    from mlx_vae_tpu.data.split import load_and_split
+
+    with tempfile.NamedTemporaryFile(suffix=".json") as f:
+        make_synthetic_dataset(n=args.molecules, vocab_size=80,
+                               max_length=64, path=f.name)
+        train_ds, val_ds, _, _ = load_and_split(f.name)
+
+    tcfg = TrainConfig(epochs=args.epochs, batch_size=args.batch_size,
+                       learning_rate=5e-4, beta_warmup_epochs=args.epochs,
+                       checkpoint_dir=tempfile.mkdtemp(), true_loss_batches=10)
+    base = dict(compute_dtype="bfloat16",
+                use_pallas=jax.default_backend() == "tpu")
+
+    fixed = run("fixed", ModelConfig(**base), tcfg, train_ds, val_ds, args.epochs)
+    quirk = run("zero-state",
+                ModelConfig(reference_zero_state=True, **base),
+                tcfg, train_ds, val_ds, args.epochs)
+
+    gaps = [abs(a["elbo"] - b["elbo"]) / max(abs(b["elbo"]), 1e-9)
+            for a, b in zip(fixed, quirk)]
+    out = {
+        "fixed_decoder": fixed,
+        "reference_zero_state": quirk,
+        "relative_elbo_gap_per_epoch": gaps,
+        "final_gap": gaps[-1],
+        "config": {"epochs": args.epochs, "molecules": args.molecules,
+                   "batch_size": args.batch_size},
+    }
+    Path(args.output).parent.mkdir(parents=True, exist_ok=True)
+    with open(args.output, "w") as fo:
+        json.dump(out, fo, indent=2)
+    print(f"\nfinal ELBO: fixed={fixed[-1]['elbo']:.4f} "
+          f"zero-state={quirk[-1]['elbo']:.4f} (gap {100 * gaps[-1]:.2f}%)")
+    print(f"wrote {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -136,10 +136,16 @@ class ARCVAETrainer:
 
     def train_epoch(self, epoch: int, total_epochs: int,
                     val_dataset=None) -> Dict[str, float]:
+        import time
         beta = self.compute_beta(epoch)
         teacher_forcing_ratio = self.compute_teacher_forcing_ratio(epoch, total_epochs)
 
+        t0 = time.perf_counter()
         self._train_epoch_batches(beta, teacher_forcing_ratio)
+        dt = time.perf_counter() - t0
+        tokens = len(self.dataset) * self.dataset.max_length
+        print(f"   Throughput: {tokens / dt:,.0f} tokens/sec "
+              f"({dt:.1f}s train pass)")
 
         true_train_metrics = self._compute_true_train_loss(
             epoch, num_batches=self.tcfg.true_loss_batches)
