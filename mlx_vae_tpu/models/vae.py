@@ -42,10 +42,21 @@ def vae_forward(params: dict, cfg: ModelConfig, x, conditions, key,
 @functools.partial(jax.jit, static_argnames=("cfg", "max_length", "greedy"))
 def vae_generate(params: dict, cfg: ModelConfig, conditions, key,
                  max_length: int = 80, temperature=1.0, greedy: bool = False):
-    """Sample z ~ N(0, I) and decode (reference ``vae.py:101-131``)."""
+    """Sample z ~ N(0, I) and decode (reference ``vae.py:101-131``).
+
+    Uses the fused Pallas generation kernel on supported TPU shapes
+    (``ops/pallas_decoder.py``), the scan sampler otherwise.
+    """
     k_z, k_gen = jax.random.split(key)
     B = conditions.shape[0]
     z = jax.random.normal(k_z, (B, cfg.latent_dim), jnp.float32)
+    if cfg.use_pallas:
+        from mlx_vae_tpu.ops.pallas_decoder import (
+            pallas_generate, pallas_generate_supported)
+        if pallas_generate_supported(cfg, B):
+            return pallas_generate(params["decoder"], cfg, z, conditions,
+                                   k_gen, max_length=max_length,
+                                   temperature=temperature, greedy=greedy)
     return generate_with_temperature(params["decoder"], cfg, z, conditions,
                                      k_gen, max_length=max_length,
                                      temperature=temperature, greedy=greedy)
