@@ -4,8 +4,6 @@ training path there too)."""
 
 from __future__ import annotations
 
-import jax.numpy as jnp
-
 from mlx_vae_tpu.losses.kl import kl_divergence
 from mlx_vae_tpu.models.encoder import encoder_apply, reparameterize
 

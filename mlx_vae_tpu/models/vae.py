@@ -14,7 +14,7 @@ and generation paths once, and threads explicit PRNG keys.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ traced arguments so epoch-to-epoch changes never recompile.
 from __future__ import annotations
 
 import functools
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp
