@@ -64,8 +64,8 @@ def _fwd_kernel(H, xs_ref, h0_ref, c0_ref, w_ref, b_ref,
     h_new = o * jnp.tanh(c_new)
     h_scr[:] = h_new
     c_scr[:] = c_new
-    hs_ref[0] = h_new
-    cs_ref[0] = c_new
+    hs_ref[0] = h_new.astype(hs_ref.dtype)
+    cs_ref[0] = c_new.astype(cs_ref.dtype)
     gates_ref[0] = gates.astype(gates_ref.dtype)
 
     @pl.when(t == L - 1)
@@ -103,10 +103,9 @@ def _bwd_kernel(H, I, gates_ref, cs_ref, csp_ref, hsp_ref, xs_ref,
     g = jnp.tanh(g_all[:, 2 * H:3 * H])
     o = jax.nn.sigmoid(g_all[:, 3 * H:])
     first = (t == 0)
-    c_prev = jnp.where(first, c0_ref[:], csp_ref[0])
-    h_prev = jnp.where(first, h0_ref[:], hsp_ref[0])
-    c_t = cs_ref[0]
-    tc = jnp.tanh(c_t)
+    c_prev = jnp.where(first, c0_ref[:], csp_ref[0].astype(jnp.float32))
+    h_prev = jnp.where(first, h0_ref[:], hsp_ref[0].astype(jnp.float32))
+    tc = jnp.tanh(cs_ref[0].astype(jnp.float32))
 
     dh_total = dh_scr[:] + dhs_ref[0]
     dc_tot = dc_scr[:] + dh_total * o * (1.0 - tc * tc)
@@ -179,8 +178,8 @@ def _fwd(params, xs, h0, c0, dtype, interpret):
         in_specs=[tb(I), row(H), row(H), const((I + H, 4 * H)), const((1, 4 * H))],
         out_specs=(tb(H), tb(H), tb(4 * H), row(H), row(H)),
         out_shape=(
-            jax.ShapeDtypeStruct((L, B, H), jnp.float32),
-            jax.ShapeDtypeStruct((L, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((L, B, H), store_dtype),   # hs (residual+out)
+            jax.ShapeDtypeStruct((L, B, H), store_dtype),   # cs (residual)
             jax.ShapeDtypeStruct((L, B, 4 * H), store_dtype),
             jax.ShapeDtypeStruct((B, H), jnp.float32),
             jax.ShapeDtypeStruct((B, H), jnp.float32),

@@ -113,8 +113,8 @@ def _fwd_kernel(H, Vp, K0, start_token,
     h0s[:] = h0n; c0s[:] = c0n
     h1s[:] = h1n; c1s[:] = c1n
     logits_ref[0] = logits
-    hs0_ref[0] = h0n; cs0_ref[0] = c0n
-    hs1_ref[0] = h1n; cs1_ref[0] = c1n
+    hs0_ref[0] = h0n.astype(hs0_ref.dtype); cs0_ref[0] = c0n.astype(cs0_ref.dtype)
+    hs1_ref[0] = h1n.astype(hs1_ref.dtype); cs1_ref[0] = c1n.astype(cs1_ref.dtype)
     g0_ref[0] = gates0.astype(g0_ref.dtype)
     g1_ref[0] = gates1.astype(g1_ref.dtype)
 
@@ -172,9 +172,9 @@ def _bwd_kernel(H, Vp, E, C, K0,
     # ---- layer 1 ----
     g1_all = g1_ref[0].astype(jnp.float32)
     i1, f1, g1, o1 = _acts(g1_all, H)
-    c1_prev = jnp.where(first, jnp.zeros_like(cs1p_ref[0]), cs1p_ref[0])
-    h1_prev = jnp.where(first, h0_ref[:], hs1p_ref[0])
-    tc1 = jnp.tanh(cs1_ref[0])
+    c1_prev = jnp.where(first, 0.0, cs1p_ref[0].astype(jnp.float32))
+    h1_prev = jnp.where(first, h0_ref[:], hs1p_ref[0].astype(jnp.float32))
+    tc1 = jnp.tanh(cs1_ref[0].astype(jnp.float32))
     dc1_tot = dc1s[:] + dh1_total * o1 * (1.0 - tc1 * tc1)
     dgates1 = jnp.concatenate([
         dc1_tot * g1 * i1 * (1.0 - i1),
@@ -198,9 +198,9 @@ def _bwd_kernel(H, Vp, E, C, K0,
     # ---- layer 0 ----
     g0_all = g0_ref[0].astype(jnp.float32)
     i0, f0, g0, o0 = _acts(g0_all, H)
-    c0_prev = jnp.where(first, jnp.zeros_like(cs0p_ref[0]), cs0p_ref[0])
-    h0_prev = jnp.where(first, h0_ref[:], hs0p_ref[0])
-    tc0 = jnp.tanh(cs0_ref[0])
+    c0_prev = jnp.where(first, 0.0, cs0p_ref[0].astype(jnp.float32))
+    h0_prev = jnp.where(first, h0_ref[:], hs0p_ref[0].astype(jnp.float32))
+    tc0 = jnp.tanh(cs0_ref[0].astype(jnp.float32))
     dh0_total = dh0s[:] + dinp1[:, :H]
     dc0_tot = dc0s[:] + dh0_total * o0 * (1.0 - tc0 * tc0)
     dgates0 = jnp.concatenate([
@@ -321,10 +321,11 @@ def _dec_fwd(params, cfg, h_init, conditions, target_seq, interpret, tf_mask):
         out_shape=(
             jax.ShapeDtypeStruct((L, B, Vp), jnp.float32),   # logits
             jax.ShapeDtypeStruct((Lp, B), jnp.int32),         # input tokens
-            jax.ShapeDtypeStruct((L, B, H), jnp.float32),     # hs0
-            jax.ShapeDtypeStruct((L, B, H), jnp.float32),     # cs0
-            jax.ShapeDtypeStruct((L, B, H), jnp.float32),     # hs1
-            jax.ShapeDtypeStruct((L, B, H), jnp.float32),     # cs1
+            # residual streams in compute dtype (halves HBM traffic in bf16)
+            jax.ShapeDtypeStruct((L, B, H), dtype),           # hs0
+            jax.ShapeDtypeStruct((L, B, H), dtype),           # cs0
+            jax.ShapeDtypeStruct((L, B, H), dtype),           # hs1
+            jax.ShapeDtypeStruct((L, B, H), dtype),           # cs1
             jax.ShapeDtypeStruct((L, B, 4 * H), dtype),       # gates0
             jax.ShapeDtypeStruct((L, B, 4 * H), dtype),       # gates1
         ),
