@@ -208,3 +208,16 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+def synthetic_tpsa(tokens, vocab_size: int = 80) -> float:
+    """The synthetic corpus's TPSA formula (noise-free) applied to a token
+    sequence — used to measure conditioning fidelity of generated molecules
+    against their TPSA target (only meaningful for synthetic datasets)."""
+    toks = list(map(int, tokens))
+    if EOS in toks:
+        toks = toks[: toks.index(EOS) + 1]
+    if not toks:
+        return 0.0
+    heavy_frac = float(np.mean([t > vocab_size // 2 for t in toks]))
+    return 20.0 + 1.1 * len(toks) + 45.0 * heavy_frac
