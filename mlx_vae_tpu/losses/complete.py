@@ -56,10 +56,31 @@ def complete_vae_loss(
                                dropout_key=k_drop if use_dropout else None)
     z = reparameterize(k_rep, mu, logvar)
 
-    logits = decoder_apply(decoder_params, cfg, z, conditions, target_seq=x,
-                           teacher_forcing_ratio=teacher_forcing_ratio, key=k_tf)
+    recon_loss = None
+    if cfg.use_pallas and not cfg.reference_zero_state:
+        # Fused decoder+CE: logits never leave VMEM (same numerics as the
+        # decode->reconstruction_loss path; see ops/pallas_train_decoder.py).
+        import jax as _jax
+        from mlx_vae_tpu.ops.pallas_train_decoder import (
+            decoder_train_ce_pallas, pallas_train_decoder_supported)
+        if (pallas_train_decoder_supported(cfg, x.shape[0])
+                and _jax.default_backend() == "tpu"):
+            from mlx_vae_tpu.models.layers import linear
+            cond_f = conditions.astype(jnp.float32)
+            L = x.shape[1]
+            tf_mask = jax.random.uniform(k_tf, (L,)) < teacher_forcing_ratio
+            h_init = (linear(decoder_params["z_to_hidden"], z, cfg.dtype)
+                      + linear(decoder_params["condition_to_hidden"], cond_f,
+                               cfg.dtype)) / 2.0
+            ce = decoder_train_ce_pallas(decoder_params, cfg, h_init, cond_f,
+                                         x.astype(jnp.int32), False, tf_mask)
+            recon_loss = jnp.sum(ce) / (x.shape[0] * L)
 
-    recon_loss = reconstruction_loss(logits, x, reduction="mean")
+    if recon_loss is None:
+        logits = decoder_apply(decoder_params, cfg, z, conditions, target_seq=x,
+                               teacher_forcing_ratio=teacher_forcing_ratio,
+                               key=k_tf)
+        recon_loss = reconstruction_loss(logits, x, reduction="mean")
     kl_loss = kl_divergence(mu, logvar, reduction="mean", free_bits=free_bits)
     collapse_penalty = posterior_collapse(mu, logvar, target_mi=target_mi,
                                           weight=lambda_collapse)

@@ -439,3 +439,377 @@ def _dec_bwd_rule(cfg, interpret, residuals, dlogits):
 
 
 decoder_train_pallas.defvjp(_dec_fwd_rule, _dec_bwd_rule)
+
+
+# ======================================================================
+# Fused decoder + cross-entropy: logits never touch HBM.
+#
+# The plain fused decoder stores logits [L, B, Vp] f32 (32MB at B=1024) for
+# the loss, and its backward re-reads a same-sized dlogits stream. When the
+# only consumer is the reconstruction CE, both streams are dead weight: the
+# forward computes per-sample CE in-register (log-sum-exp over the padded
+# vocab, whose -1e9 pad lanes vanish), and the backward recomputes logits
+# from the stored h1 states and forms dlogits = (softmax - onehot(target)) *
+# dce in-register. Numerics match decoder_apply -> reconstruction_loss.
+# ======================================================================
+
+
+def _fwd_ce_kernel(H, Vp, K0, start_token,
+                   targets_ref, tf_ref, cond_ref, h0_ref,
+                   emb_ref, w0_ref, b0_ref, w1_ref, b1_ref, wout_ref, bout_ref,
+                   ce_ref, toks_ref, hs0_ref, cs0_ref, hs1_ref, cs1_ref,
+                   g0_ref, g1_ref,
+                   h0s, c0s, h1s, c1s, tok_s):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h0s[:] = h0_ref[:]
+        h1s[:] = h0_ref[:]
+        c0s[:] = jnp.zeros_like(c0s)
+        c1s[:] = jnp.zeros_like(c1s)
+        tok_s[:] = jnp.full_like(tok_s, start_token)
+        ce_ref[:] = jnp.zeros_like(ce_ref)
+
+    BB = h0s.shape[0]
+    tok = tok_s[:]
+    trow = t % 8
+    toks_ref[trow] = tok[:, 0]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (BB, Vp), 1)
+    oh = (col == tok).astype(emb_ref.dtype)
+    emb_x = jnp.dot(oh, emb_ref[:], preferred_element_type=jnp.float32)
+    cond = cond_ref[:].astype(jnp.float32)
+    pad = K0 - emb_x.shape[1] - cond.shape[1]
+    x0 = jnp.concatenate([emb_x, cond, jnp.zeros((BB, pad), jnp.float32)], axis=1)
+
+    inp0 = jnp.concatenate([x0, h0s[:]], axis=1).astype(w0_ref.dtype)
+    gates0 = jnp.dot(inp0, w0_ref[:], preferred_element_type=jnp.float32) + b0_ref[0]
+    i0, f0, g0, o0 = _acts(gates0, H)
+    c0n = f0 * c0s[:] + i0 * g0
+    h0n = o0 * jnp.tanh(c0n)
+
+    inp1 = jnp.concatenate([h0n, h1s[:]], axis=1).astype(w1_ref.dtype)
+    gates1 = jnp.dot(inp1, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[0]
+    i1, f1, g1, o1 = _acts(gates1, H)
+    c1n = f1 * c1s[:] + i1 * g1
+    h1n = o1 * jnp.tanh(c1n)
+
+    logits = jnp.dot(h1n.astype(wout_ref.dtype), wout_ref[:],
+                     preferred_element_type=jnp.float32) + bout_ref[0]
+
+    # ---- per-step CE accumulation (target of THIS step) ----
+    target_t = targets_ref[trow][:, None]
+    m = jnp.max(logits, axis=1, keepdims=True)
+    lse = m + jnp.log(jnp.sum(jnp.exp(logits - m), axis=1, keepdims=True))
+    tlogit = jnp.sum(jnp.where(col == target_t, logits, 0.0), axis=1,
+                     keepdims=True)
+    ce_ref[:] += lse - tlogit
+
+    pred = jnp.argmax(logits, axis=1).astype(jnp.int32)[:, None]
+    tok_s[:] = jnp.where(tf_ref[t, 0] != 0, target_t, pred)
+
+    h0s[:] = h0n; c0s[:] = c0n
+    h1s[:] = h1n; c1s[:] = c1n
+    hs0_ref[0] = h0n.astype(hs0_ref.dtype); cs0_ref[0] = c0n.astype(cs0_ref.dtype)
+    hs1_ref[0] = h1n.astype(hs1_ref.dtype); cs1_ref[0] = c1n.astype(cs1_ref.dtype)
+    g0_ref[0] = gates0.astype(g0_ref.dtype)
+    g1_ref[0] = gates1.astype(g1_ref.dtype)
+
+
+def _bwd_ce_kernel(H, Vp, E, C, K0,
+                   dce_ref, targets_ref, toks_ref, cond_ref, h0_ref,
+                   hs0_ref, cs0_ref, hs1_ref, cs1_ref, g0_ref, g1_ref,
+                   hs0p_ref, cs0p_ref, hs1p_ref, cs1p_ref,
+                   emb_ref, w0_ref, w1_ref, wout_ref, bout_ref,
+                   dwx0_ref, dwh0_ref, db0_ref, dwx1_ref, dwh1_ref, db1_ref,
+                   dwout_ref, dbout_ref, demb_ref, dhinit_ref, dcond_ref,
+                   dh0s, dc0s, dh1s, dc1s):
+    tg = pl.program_id(1)
+    L = pl.num_programs(1)
+    t = L - 1 - tg
+    ib = pl.program_id(0)
+
+    @pl.when(jnp.logical_and(ib == 0, tg == 0))
+    def _():
+        dwx0_ref[:] = jnp.zeros_like(dwx0_ref)
+        dwh0_ref[:] = jnp.zeros_like(dwh0_ref)
+        db0_ref[:] = jnp.zeros_like(db0_ref)
+        dwx1_ref[:] = jnp.zeros_like(dwx1_ref)
+        dwh1_ref[:] = jnp.zeros_like(dwh1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dwout_ref[:] = jnp.zeros_like(dwout_ref)
+        dbout_ref[:] = jnp.zeros_like(dbout_ref)
+        demb_ref[:] = jnp.zeros_like(demb_ref)
+
+    @pl.when(tg == 0)
+    def _():
+        dh0s[:] = jnp.zeros_like(dh0s)
+        dc0s[:] = jnp.zeros_like(dc0s)
+        dh1s[:] = jnp.zeros_like(dh1s)
+        dc1s[:] = jnp.zeros_like(dc1s)
+        dcond_ref[:] = jnp.zeros_like(dcond_ref)
+
+    BB = dh0s.shape[0]
+    first = (t == 0)
+    trow = t % 8
+    col = jax.lax.broadcasted_iota(jnp.int32, (BB, Vp), 1)
+
+    # ---- recompute logits from the stored h1, form dlogits in-register ----
+    h1n = hs1_ref[0].astype(jnp.float32)
+    logits = jnp.dot(h1n.astype(wout_ref.dtype), wout_ref[:],
+                     preferred_element_type=jnp.float32) + bout_ref[0]
+    m = jnp.max(logits, axis=1, keepdims=True)
+    e = jnp.exp(logits - m)
+    probs = e / jnp.sum(e, axis=1, keepdims=True)
+    target_t = targets_ref[trow][:, None]
+    onehot_t = (col == target_t).astype(jnp.float32)
+    dlog = (probs - onehot_t) * dce_ref[:]  # [BB, Vp] * [BB, 1]
+
+    dh1_total = dh1s[:] + jax.lax.dot_general(
+        dlog.astype(wout_ref.dtype), wout_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dwout_ref[:] += jax.lax.dot_general(
+        h1n.astype(wout_ref.dtype), dlog.astype(wout_ref.dtype),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dbout_ref[0] += jnp.sum(dlog, axis=0)
+
+    # ---- layer 1 ----
+    g1_all = g1_ref[0].astype(jnp.float32)
+    i1, f1, g1, o1 = _acts(g1_all, H)
+    c1_prev = jnp.where(first, 0.0, cs1p_ref[0].astype(jnp.float32))
+    h1_prev = jnp.where(first, h0_ref[:], hs1p_ref[0].astype(jnp.float32))
+    tc1 = jnp.tanh(cs1_ref[0].astype(jnp.float32))
+    dc1_tot = dc1s[:] + dh1_total * o1 * (1.0 - tc1 * tc1)
+    dgates1 = jnp.concatenate([
+        dc1_tot * g1 * i1 * (1.0 - i1),
+        dc1_tot * c1_prev * f1 * (1.0 - f1),
+        dc1_tot * i1 * (1.0 - g1 * g1),
+        dh1_total * tc1 * o1 * (1.0 - o1),
+    ], axis=1).astype(w1_ref.dtype)
+    dinp1 = jax.lax.dot_general(dgates1, w1_ref[:], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    h0n = hs0_ref[0].astype(jnp.float32)
+    dwx1_ref[:] += jax.lax.dot_general(
+        h0n.astype(w1_ref.dtype), dgates1, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dwh1_ref[:] += jax.lax.dot_general(
+        h1_prev.astype(w1_ref.dtype), dgates1, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db1_ref[0] += jnp.sum(dgates1.astype(jnp.float32), axis=0)
+    dh1s[:] = dinp1[:, H:]
+    dc1s[:] = dc1_tot * f1
+
+    # ---- layer 0 ----
+    g0_all = g0_ref[0].astype(jnp.float32)
+    i0, f0, g0, o0 = _acts(g0_all, H)
+    c0_prev = jnp.where(first, 0.0, cs0p_ref[0].astype(jnp.float32))
+    h0_prev = jnp.where(first, h0_ref[:], hs0p_ref[0].astype(jnp.float32))
+    tc0 = jnp.tanh(cs0_ref[0].astype(jnp.float32))
+    dh0_total = dh0s[:] + dinp1[:, :H]
+    dc0_tot = dc0s[:] + dh0_total * o0 * (1.0 - tc0 * tc0)
+    dgates0 = jnp.concatenate([
+        dc0_tot * g0 * i0 * (1.0 - i0),
+        dc0_tot * c0_prev * f0 * (1.0 - f0),
+        dc0_tot * i0 * (1.0 - g0 * g0),
+        dh0_total * tc0 * o0 * (1.0 - o0),
+    ], axis=1).astype(w0_ref.dtype)
+    dinp0 = jax.lax.dot_general(dgates0, w0_ref[:], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+
+    tok = toks_ref[trow][:, None]
+    oh = (col == tok).astype(emb_ref.dtype)
+    emb_x = jnp.dot(oh, emb_ref[:], preferred_element_type=jnp.float32)
+    cond = cond_ref[:].astype(jnp.float32)
+    pad = K0 - E - C
+    x0 = jnp.concatenate([emb_x, cond, jnp.zeros((BB, pad), jnp.float32)], axis=1)
+
+    dwx0_ref[:] += jax.lax.dot_general(
+        x0.astype(w0_ref.dtype), dgates0, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dwh0_ref[:] += jax.lax.dot_general(
+        h0_prev.astype(w0_ref.dtype), dgates0, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db0_ref[0] += jnp.sum(dgates0.astype(jnp.float32), axis=0)
+
+    demb_x = dinp0[:, :E]
+    demb_ref[:] += jax.lax.dot_general(
+        oh, demb_x.astype(emb_ref.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dcond_ref[:] += dinp0[:, E:E + C]
+    dh0s[:] = dinp0[:, K0:]
+    dc0s[:] = dc0_tot * f0
+
+    @pl.when(tg == L - 1)
+    def _():
+        dhinit_ref[:] = dh0s[:] + dh1s[:]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 5))
+def decoder_train_ce_pallas(params: dict, cfg, h_init, conditions, target_seq,
+                            interpret: bool, tf_mask):
+    """Teacher-forced decode + per-sample reconstruction CE ``[B]``.
+
+    ``ce[b] = sum_t -log softmax(logits_t)[target_t]`` — identical numerics
+    to ``decoder_apply`` followed by ``reconstruction_loss(..., 'sum'-per-
+    sample)``, but logits never leave VMEM in either direction.
+    """
+    (ce, _) = _ce_fwd(params, cfg, h_init, conditions, target_seq, interpret,
+                      tf_mask)
+    return ce
+
+
+def _ce_fwd(params, cfg, h_init, conditions, target_seq, interpret, tf_mask):
+    B, L = target_seq.shape
+    H, E, C = cfg.hidden_dim, cfg.embedding_dim, cfg.num_conditions
+    Vp = _round_up(cfg.vocab_size, 128)
+    K0 = _round_up(E + C, 128)
+    dtype = cfg.dtype
+
+    emb, w0, b0, w1, b1, wout, bout = _prep_weights(params, cfg, Vp, K0, dtype)
+    Lp = _round_up(L, 8)
+    targets_t = jnp.zeros((Lp, B), jnp.int32).at[:L].set(
+        jnp.swapaxes(target_seq.astype(jnp.int32), 0, 1))
+    tf_i = tf_mask.astype(jnp.int32).reshape(L, 1)
+    cond_f = conditions.astype(jnp.float32)
+
+    BB = _block_rows(H, B)
+    grid = (pl.cdiv(B, BB), L)
+    tb = lambda w_: pl.BlockSpec((1, BB, w_), lambda ib, t: (t, ib, 0),
+                                 memory_space=pltpu.VMEM)
+    tb2 = pl.BlockSpec((8, BB), lambda ib, t: (t // 8, ib),
+                       memory_space=pltpu.VMEM)
+    row = lambda w_: pl.BlockSpec((BB, w_), lambda ib, t: (ib, 0),
+                                  memory_space=pltpu.VMEM)
+    const = lambda s: pl.BlockSpec(s, lambda ib, t: (0,) * len(s),
+                                   memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        functools.partial(_fwd_ce_kernel, H, Vp, K0, cfg.start_token),
+        grid=grid,
+        in_specs=[
+            tb2,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            row(C), row(H),
+            const((Vp, E)), const((K0 + H, 4 * H)), const((1, 4 * H)),
+            const((2 * H, 4 * H)), const((1, 4 * H)),
+            const((H, Vp)), const((1, Vp)),
+        ],
+        out_specs=(row(1), tb2, tb(H), tb(H), tb(H), tb(H),
+                   tb(4 * H), tb(4 * H)),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),        # per-sample CE
+            jax.ShapeDtypeStruct((Lp, B), jnp.int32),         # input tokens
+            jax.ShapeDtypeStruct((L, B, H), dtype),           # hs0
+            jax.ShapeDtypeStruct((L, B, H), dtype),           # cs0
+            jax.ShapeDtypeStruct((L, B, H), dtype),           # hs1
+            jax.ShapeDtypeStruct((L, B, H), dtype),           # cs1
+            jax.ShapeDtypeStruct((L, B, 4 * H), dtype),       # gates0
+            jax.ShapeDtypeStruct((L, B, 4 * H), dtype),       # gates1
+        ),
+        scratch_shapes=[pltpu.VMEM((BB, H), jnp.float32)] * 4
+        + [pltpu.VMEM((BB, 1), jnp.int32)],
+        interpret=interpret,
+    )(targets_t, tf_i, cond_f, h_init, emb, w0, b0, w1, b1, wout, bout)
+
+    ce, toks_t, hs0, cs0, hs1, cs1, g0, g1 = outs
+    residuals = (params, h_init, conditions, targets_t, toks_t,
+                 hs0, cs0, hs1, cs1, g0, g1)
+    return ce[:, 0], residuals
+
+
+def _ce_fwd_rule(params, cfg, h_init, conditions, target_seq, interpret,
+                 tf_mask):
+    return _ce_fwd(params, cfg, h_init, conditions, target_seq, interpret,
+                   tf_mask)
+
+
+def _ce_bwd_rule(cfg, interpret, residuals, dce):
+    (params, h_init, conditions, targets_t, toks_t,
+     hs0, cs0, hs1, cs1, g0, g1) = residuals
+    L, B, H = hs0.shape
+    E, C = cfg.embedding_dim, cfg.num_conditions
+    Vp = _round_up(cfg.vocab_size, 128)
+    K0 = _round_up(E + C, 128)
+    dtype = cfg.dtype
+
+    emb, w0, _, w1, _, wout, bout = _prep_weights(params, cfg, Vp, K0, dtype)
+    cond_f = conditions.astype(jnp.float32)
+    dce_col = dce.astype(jnp.float32).reshape(B, 1)
+
+    BB = _block_rows(H, B)
+    grid = (pl.cdiv(B, BB), L)
+
+    def rev(ib, tg):
+        return (L - 1 - tg, ib, 0)
+
+    def rev2(ib, tg):
+        return ((L - 1 - tg) // 8, ib)
+
+    def rev_prev(ib, tg):
+        return (jnp.maximum(L - 2 - tg, 0), ib, 0)
+
+    tbr = lambda w_: pl.BlockSpec((1, BB, w_), rev, memory_space=pltpu.VMEM)
+    tbp = lambda w_: pl.BlockSpec((1, BB, w_), rev_prev, memory_space=pltpu.VMEM)
+    tbr2 = pl.BlockSpec((8, BB), rev2, memory_space=pltpu.VMEM)
+    row = lambda w_: pl.BlockSpec((BB, w_), lambda ib, tg: (ib, 0),
+                                  memory_space=pltpu.VMEM)
+    const = lambda s: pl.BlockSpec(s, lambda ib, tg: (0,) * len(s),
+                                   memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        functools.partial(_bwd_ce_kernel, H, Vp, E, C, K0),
+        grid=grid,
+        in_specs=[
+            row(1),                      # dce per sample
+            tbr2, tbr2, row(C), row(H),  # targets, toks, cond, h_init
+            tbr(H), tbr(H), tbr(H), tbr(H), tbr(4 * H), tbr(4 * H),
+            tbp(H), tbp(H), tbp(H), tbp(H),
+            const((Vp, E)), const((K0 + H, 4 * H)), const((2 * H, 4 * H)),
+            const((H, Vp)), const((1, Vp)),
+        ],
+        out_specs=(
+            const((K0, 4 * H)), const((H, 4 * H)), const((1, 4 * H)),
+            const((H, 4 * H)), const((H, 4 * H)), const((1, 4 * H)),
+            const((H, Vp)), const((1, Vp)), const((Vp, E)),
+            row(H), row(C),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((K0, 4 * H), jnp.float32),
+            jax.ShapeDtypeStruct((H, 4 * H), jnp.float32),
+            jax.ShapeDtypeStruct((1, 4 * H), jnp.float32),
+            jax.ShapeDtypeStruct((H, 4 * H), jnp.float32),
+            jax.ShapeDtypeStruct((H, 4 * H), jnp.float32),
+            jax.ShapeDtypeStruct((1, 4 * H), jnp.float32),
+            jax.ShapeDtypeStruct((H, Vp), jnp.float32),
+            jax.ShapeDtypeStruct((1, Vp), jnp.float32),
+            jax.ShapeDtypeStruct((Vp, E), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, C), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((BB, H), jnp.float32)] * 4,
+        interpret=interpret,
+    )(dce_col, targets_t, toks_t, cond_f, h_init, hs0, cs0, hs1, cs1, g0, g1,
+      hs0, cs0, hs1, cs1, emb, w0, w1, wout, bout)
+
+    (dwx0, dwh0, db0, dwx1, dwh1, db1, dwout, dbout, demb,
+     dh_init, dcond) = outs
+
+    V = cfg.vocab_size
+    dparams = {
+        "embedding": {"weight": demb[:V]},
+        "lstm_layer_0": {"Wx": dwx0[: E + C].T, "Wh": dwh0.T, "bias": db0[0]},
+        "lstm_layer_1": {"Wx": dwx1.T, "Wh": dwh1.T, "bias": db1[0]},
+        "fc_out": {"weight": dwout[:, :V].T, "bias": dbout[0, :V]},
+        "z_to_hidden": jax.tree_util.tree_map(
+            jnp.zeros_like, params["z_to_hidden"]),
+        "condition_to_hidden": jax.tree_util.tree_map(
+            jnp.zeros_like, params["condition_to_hidden"]),
+    }
+    import numpy as _np
+    dtargets = _np.zeros((B, L), dtype=jax.dtypes.float0)
+    dtf = _np.zeros((L,), dtype=jax.dtypes.float0)
+    return dparams, dh_init, dcond, dtargets, dtf
+
+
+decoder_train_ce_pallas.defvjp(_ce_fwd_rule, _ce_bwd_rule)

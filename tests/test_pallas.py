@@ -227,3 +227,69 @@ class TestFusedTrainDecoder:
             np.testing.assert_allclose(
                 np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-4,
                 err_msg=f"grad mismatch at {jax.tree_util.keystr(k)}")
+
+
+class TestFusedDecoderCE:
+    def _setup(self):
+        from mlx_vae_tpu.config import ModelConfig
+        from mlx_vae_tpu.models import init_decoder_params
+        cfg = ModelConfig(vocab_size=24, embedding_dim=16, hidden_dim=128,
+                          latent_dim=8, num_conditions=1, num_layers=2)
+        params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+        B, L = 8, 9
+        z = jax.random.normal(jax.random.PRNGKey(1), (B, cfg.latent_dim))
+        cond = jax.random.normal(jax.random.PRNGKey(2), (B, 1))
+        targets = jax.random.randint(jax.random.PRNGKey(3), (B, L), 0,
+                                     cfg.vocab_size)
+        tf_mask = jnp.asarray([1, 0, 1, 1, 0, 1, 0, 1, 1], bool)
+        return cfg, params, z, cond, targets, tf_mask
+
+    def _h_init(self, cfg, params, z, cond):
+        from mlx_vae_tpu.models.layers import linear
+        cond_f = cond.astype(jnp.float32)
+        return (linear(params["z_to_hidden"], z, cfg.dtype)
+                + linear(params["condition_to_hidden"], cond_f, cfg.dtype)) / 2.0
+
+    def test_ce_matches_logits_path(self):
+        from mlx_vae_tpu.losses.recon import reconstruction_loss
+        from mlx_vae_tpu.ops.pallas_train_decoder import (
+            decoder_train_ce_pallas, decoder_train_pallas)
+        cfg, params, z, cond, targets, tf_mask = self._setup()
+        cond_f = cond.astype(jnp.float32)
+        h_init = self._h_init(cfg, params, z, cond)
+        logits = decoder_train_pallas(params, cfg, h_init, cond_f, targets,
+                                      True, tf_mask)
+        ref = float(reconstruction_loss(logits, targets, "mean"))
+        ce = decoder_train_ce_pallas(params, cfg, h_init, cond_f, targets,
+                                     True, tf_mask)
+        assert ce.shape == (8,)
+        got = float(jnp.sum(ce) / (8 * 9))
+        assert abs(got - ref) < 1e-5
+
+    def test_ce_gradients_match_logits_path(self):
+        from mlx_vae_tpu.losses.recon import reconstruction_loss
+        from mlx_vae_tpu.ops.pallas_train_decoder import (
+            decoder_train_ce_pallas, decoder_train_pallas)
+        cfg, params, z, cond, targets, tf_mask = self._setup()
+
+        def loss_logits(p, zz, cc):
+            ccf = cc.astype(jnp.float32)
+            h = self._h_init(cfg, p, zz, cc)
+            logits = decoder_train_pallas(p, cfg, h, ccf, targets, True, tf_mask)
+            return reconstruction_loss(logits, targets, "mean")
+
+        def loss_ce(p, zz, cc):
+            ccf = cc.astype(jnp.float32)
+            h = self._h_init(cfg, p, zz, cc)
+            ce = decoder_train_ce_pallas(p, cfg, h, ccf, targets, True, tf_mask)
+            return jnp.sum(ce) / (targets.shape[0] * targets.shape[1])
+
+        g1 = jax.grad(loss_logits, argnums=(0, 1, 2))(params, z, cond)
+        g2 = jax.grad(loss_ce, argnums=(0, 1, 2))(params, z, cond)
+        flat2 = {jax.tree_util.keystr(k): v
+                 for k, v in jax.tree_util.tree_leaves_with_path(g2)}
+        for k, a in jax.tree_util.tree_leaves_with_path(g1):
+            b = flat2[jax.tree_util.keystr(k)]
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5,
+                err_msg=f"grad mismatch at {jax.tree_util.keystr(k)}")
