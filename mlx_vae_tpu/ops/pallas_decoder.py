@@ -39,9 +39,11 @@ def _round_up(x: int, m: int) -> int:
 
 
 def pallas_generate_supported(cfg: ModelConfig, batch: int) -> bool:
+    # n_layers * H <= 1024 keeps the stacked per-layer weights in VMEM.
     return (
-        cfg.num_layers == 2
+        1 <= cfg.num_layers <= 8
         and cfg.hidden_dim % 128 == 0
+        and cfg.num_layers * cfg.hidden_dim <= 1024
         and batch % 8 == 0
         and jax.default_backend() in ("tpu",)
     )
@@ -49,10 +51,19 @@ def pallas_generate_supported(cfg: ModelConfig, batch: int) -> bool:
 
 def _kernel(cfg, Vp, K0, L, use_gumbel,
             cond_ref, h0_ref, seed_ref, temp_ref,
-            emb_ref, wx0_ref, wh0_ref, b0_ref, wx1_ref, wh1_ref, b1_ref,
+            emb_ref, wx0_ref, whs_ref, wxr_ref, bs_ref,
             wout_ref, bout_ref,
             tokens_ref):
+    """N-layer decoder sampling. Weight layout:
+
+    * ``wx0 [K0, 4H]`` — layer-0 input weights (emb+cond+pad rows)
+    * ``whs [n, H, 4H]`` — recurrent weights, every layer
+    * ``wxr [max(n-1,1), H, 4H]`` — input weights for layers 1..n-1
+      (a zero dummy row when n == 1; never read)
+    * ``bs [n, 1, 4H]`` — biases
+    """
     H = cfg.hidden_dim
+    n = cfg.num_layers
     BB = h0_ref.shape[0]
     if use_gumbel:
         pltpu.prng_seed(seed_ref[0], pl.program_id(0))
@@ -67,7 +78,7 @@ def _kernel(cfg, Vp, K0, L, use_gumbel,
                          preferred_element_type=jnp.float32)
                  + jnp.dot(h.astype(wh.dtype), wh,
                            preferred_element_type=jnp.float32)
-                 + b[0])
+                 + b)
         i = jax.nn.sigmoid(gates[:, :H])
         f = jax.nn.sigmoid(gates[:, H:2 * H])
         g = jnp.tanh(gates[:, 2 * H:3 * H])
@@ -78,14 +89,22 @@ def _kernel(cfg, Vp, K0, L, use_gumbel,
     lane = jax.lax.broadcasted_iota(jnp.int32, (BB, L), 1)
 
     def step(t, carry):
-        h0, c0, h1, c1, tok, ended, out = carry
+        hs, cs, tok, ended, out = carry  # hs/cs: [n, BB, H]
         # embedding via one-hot matmul (table is VMEM-resident)
         oh = (col == tok).astype(emb_ref.dtype)
         emb_x = jnp.dot(oh, emb_ref[:], preferred_element_type=jnp.float32)
         x = jnp.concatenate([emb_x.astype(jnp.float32), cond, zpad], axis=1)
-        h0, c0 = cell(x, wx0_ref[:], wh0_ref[:], b0_ref, h0, c0)
-        h1, c1 = cell(h0, wx1_ref[:], wh1_ref[:], b1_ref, h1, c1)
-        logits = jnp.dot(h1.astype(wout_ref.dtype), wout_ref[:],
+        new_hs, new_cs = [], []
+        for layer in range(n):  # static unroll over layers
+            wx = wx0_ref[:] if layer == 0 else wxr_ref[layer - 1]
+            h_l, c_l = cell(x, wx, whs_ref[layer], bs_ref[layer, 0],
+                            hs[layer], cs[layer])
+            new_hs.append(h_l)
+            new_cs.append(c_l)
+            x = h_l
+        hs = jnp.stack(new_hs)
+        cs = jnp.stack(new_cs)
+        logits = jnp.dot(x.astype(wout_ref.dtype), wout_ref[:],
                          preferred_element_type=jnp.float32) + bout_ref[0]
         scaled = logits / temp
         if use_gumbel:
@@ -101,11 +120,12 @@ def _kernel(cfg, Vp, K0, L, use_gumbel,
         # Branchless column write (Mosaic requires 128-aligned lane offsets
         # for dynamic stores, so a masked select updates column t instead).
         out = jnp.where(lane == t, tok_new, out)
-        return h0, c0, h1, c1, tok_new, ended, out
+        return hs, cs, tok_new, ended, out
 
     h0 = h0_ref[:].astype(jnp.float32)
-    init = (h0, jnp.zeros_like(h0),
-            h0, jnp.zeros_like(h0),  # reference replicates the init per layer
+    # reference replicates the same init across layers (decoder.py:102-106)
+    hs0 = jnp.broadcast_to(h0[None], (n, BB, H))
+    init = (hs0, jnp.zeros_like(hs0),
             jnp.full((BB, 1), cfg.start_token, jnp.int32),
             jnp.zeros((BB, 1), jnp.int32),
             jnp.zeros((BB, L), jnp.int32))
@@ -130,14 +150,19 @@ def pallas_generate(params: dict, cfg: ModelConfig, z, conditions, key,
     wdt = cfg.dtype
 
     # ---- weight prep (padded, transposed for [x, h] @ W layout) ----
+    n = cfg.num_layers
     emb = jnp.zeros((Vp, E), wdt).at[:V].set(params["embedding"]["weight"].astype(wdt))
-    l0, l1 = params["lstm_layer_0"], params["lstm_layer_1"]
+    l0 = params["lstm_layer_0"]
     wx0 = jnp.zeros((K0, 4 * H), wdt).at[: E + C].set(l0["Wx"].T.astype(wdt))
-    wh0 = l0["Wh"].T.astype(wdt)
-    b0 = l0["bias"].astype(jnp.float32)[None]
-    wx1 = l1["Wx"].T.astype(wdt)
-    wh1 = l1["Wh"].T.astype(wdt)
-    b1 = l1["bias"].astype(jnp.float32)[None]
+    whs = jnp.stack([params[f"lstm_layer_{i}"]["Wh"].T.astype(wdt)
+                     for i in range(n)])
+    if n > 1:
+        wxr = jnp.stack([params[f"lstm_layer_{i}"]["Wx"].T.astype(wdt)
+                         for i in range(1, n)])
+    else:
+        wxr = jnp.zeros((1, H, 4 * H), wdt)  # dummy, never read
+    bs = jnp.stack([params[f"lstm_layer_{i}"]["bias"].astype(jnp.float32)[None]
+                    for i in range(n)])
     # pad vocab columns; bias -inf on pad lanes so argmax never picks them
     wout = jnp.zeros((H, Vp), wdt).at[:, :V].set(params["fc_out"]["weight"].T.astype(wdt))
     bout = jnp.full((1, Vp), -1e9, jnp.float32).at[0, :V].set(
@@ -173,13 +198,15 @@ def pallas_generate(params: dict, cfg: ModelConfig, z, conditions, key,
             pl.BlockSpec((1, 1), lambda ib: (0, 0),
                          memory_space=pltpu.SMEM),  # temperature
             const_spec((Vp, E)),
-            const_spec((K0, 4 * H)), const_spec((H, 4 * H)), const_spec((1, 4 * H)),
-            const_spec((H, 4 * H)), const_spec((H, 4 * H)), const_spec((1, 4 * H)),
+            const_spec((K0, 4 * H)),
+            const_spec((n, H, 4 * H)),
+            const_spec((max(n - 1, 1), H, 4 * H)),
+            const_spec((n, 1, 4 * H)),
             const_spec((H, Vp)), const_spec((1, Vp)),
         ],
         out_specs=pl.BlockSpec((BB, max_length), lambda ib: (ib, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, max_length), jnp.int32),
         interpret=interpret,
-    )(cond_f, h0, seed, temp, emb, wx0, wh0, b0, wx1, wh1, b1, wout, bout)
+    )(cond_f, h0, seed, temp, emb, wx0, whs, wxr, bs, wout, bout)
     return tokens

@@ -293,3 +293,23 @@ class TestFusedDecoderCE:
             np.testing.assert_allclose(
                 np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5,
                 err_msg=f"grad mismatch at {jax.tree_util.keystr(k)}")
+
+
+@pytest.mark.parametrize("n_layers", [1, 2, 3])
+def test_fused_generation_n_layers(n_layers):
+    """Generalized N-layer fused sampler: greedy parity vs the scan sampler."""
+    from mlx_vae_tpu.config import ModelConfig
+    from mlx_vae_tpu.models import generate_with_temperature, init_decoder_params
+    from mlx_vae_tpu.ops.pallas_decoder import pallas_generate
+
+    cfg = ModelConfig(vocab_size=24, embedding_dim=16, hidden_dim=128,
+                      latent_dim=8, num_conditions=1, num_layers=n_layers)
+    params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+    z = jax.random.normal(jax.random.PRNGKey(1), (8, cfg.latent_dim))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (8, 1))
+    k = jax.random.PRNGKey(3)
+    ref = generate_with_temperature(params, cfg, z, cond, k,
+                                    max_length=12, greedy=True)
+    got = pallas_generate(params, cfg, z, cond, k, max_length=12,
+                          greedy=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
