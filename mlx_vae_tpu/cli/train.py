@@ -79,7 +79,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--compute_dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"], help="Matmul compute dtype")
     parser.add_argument("--use_pallas", action="store_true",
-                        help="Use the fused Pallas LSTM gate kernel")
+                        help="Use the fused Pallas kernels (LSTM sequence, "
+                             "training decoder, generation)")
+    parser.add_argument("--custom_vjp", action="store_true",
+                        help="Hand-written big-matmul LSTM backward for "
+                             "encoder layers beyond the Pallas kernels' "
+                             "hidden<=512 range (measured +4%% on the "
+                             "hidden-1024 scaled config)")
     parser.add_argument("--reference_zero_state", action="store_true",
                         help="Reproduce the reference decoder's zero-state quirk")
     parser.add_argument("--bidirectional", action="store_true",
@@ -174,6 +180,7 @@ def main(argv=None):
         dropout=args.dropout,
         compute_dtype=args.compute_dtype,
         use_pallas=args.use_pallas,
+        custom_vjp=args.custom_vjp,
         reference_zero_state=args.reference_zero_state,
         bidirectional=args.bidirectional,
         apply_dropout=args.apply_dropout,
