@@ -98,6 +98,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Capture a jax.profiler trace of the first epoch")
     parser.add_argument("--synthetic", type=int, default=0, metavar="N",
                         help="Generate an N-molecule synthetic dataset at --data first")
+    parser.add_argument("--eval_test", action="store_true",
+                        help="Evaluate the held-out test split after training "
+                             "(the reference builds the split but never uses it)")
     return parser
 
 
@@ -255,6 +258,14 @@ def main(argv=None):
                   f"Beta: {metrics['beta']:.4f}")
 
     trainer.plot_history(save_path=f"{args.checkpoint_dir}/training_history.png")
+
+    if args.eval_test and len(test_dataset) >= args.batch_size:
+        beta = trainer.compute_beta(args.epochs - 1)
+        tm = trainer._eval_batches(test_dataset, beta, None, "Test")
+        print(f"\nTest set ({len(test_dataset):,} samples): "
+              f"loss={tm['loss']:.4f} recon={tm['recon']:.4f} "
+              f"kl={tm['kl']:.4f}")
+
     print("\n✓ Training complete! ✓")
 
 
