@@ -194,3 +194,31 @@ class TestSanity:
         too_big = check_loss_sanity(jnp.asarray(5000.0), jnp.asarray(2.9),
                                     jnp.asarray(0.1), mu, logvar)
         assert not too_big
+
+
+class TestBF16Mode:
+    def test_complete_loss_finite_in_bf16(self, key):
+        """bf16 compute mode: loss and grads finite, close to f32 values."""
+        cfg32 = ModelConfig(vocab_size=24, embedding_dim=16, hidden_dim=32,
+                            latent_dim=8, num_conditions=1, num_layers=2)
+        cfg16 = cfg32.replace(compute_dtype="bfloat16")
+        import jax
+        enc = init_encoder_params(jax.random.PRNGKey(1), cfg32)
+        dec = init_decoder_params(jax.random.PRNGKey(2), cfg32)
+        x = jax.random.randint(jax.random.PRNGKey(3), (4, 10), 0, 24)
+        cond = jax.random.normal(jax.random.PRNGKey(4), (4, 1))
+
+        def total(cfg):
+            return complete_vae_loss(enc, dec, None, cfg, x, cond, key,
+                                     beta=0.05, free_bits=1.0,
+                                     teacher_forcing_ratio=1.0)["total_loss"]
+
+        l32, l16 = float(total(cfg32)), float(total(cfg16))
+        assert np.isfinite(l16)
+        assert abs(l32 - l16) / abs(l32) < 0.05  # bf16 rounding only
+
+        g = jax.grad(lambda e: complete_vae_loss(
+            e, dec, None, cfg16, x, cond, key, beta=0.05, free_bits=1.0,
+            teacher_forcing_ratio=1.0)["total_loss"])(enc)
+        for leaf in jax.tree_util.tree_leaves(g):
+            assert np.all(np.isfinite(np.asarray(leaf)))
