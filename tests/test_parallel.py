@@ -96,6 +96,31 @@ def test_param_pspec_rules():
     assert param_pspec((DictKey("fc_mu"), DictKey("weight"))) == P()
 
 
+def test_dryrun_multichip_self_provisions_from_single_device():
+    """Regression for the round-1 driver failure: ``dryrun_multichip(8)``
+    called from a process whose backend has ONE device must re-exec itself
+    on a virtual 8-device CPU backend and pass (VERDICT.md item 1)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    # Parent sees exactly one CPU device (strip any forced device count).
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "host_platform_device_count" not in f)
+    env.pop("MLX_VAE_TPU_DRYRUN_CHILD", None)
+    code = (f"import sys; sys.path.insert(0, {repo!r}); "
+            "import jax; assert len(jax.devices()) == 1, jax.devices(); "
+            "import __graft_entry__; __graft_entry__.dryrun_multichip(8)")
+    proc = subprocess.run([sys.executable, "-c", code], env=env, cwd=repo,
+                          capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip(8)" in proc.stdout and "OK" in proc.stdout
+
+
 @requires_8
 def test_data_parallel_trainer_epoch(tmp_path):
     make_synthetic_dataset(n=300, vocab_size=24, max_length=12,
