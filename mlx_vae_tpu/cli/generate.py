@@ -34,6 +34,10 @@ def build_parser():
     p.add_argument("--target", type=float, nargs="+", default=[90.0],
                    help="Target property value(s), raw units (e.g. TPSA 90)")
     p.add_argument("--output", type=str, default="generated.json")
+    p.add_argument("--no_normalize", action="store_true",
+                   help="Pass --target values to the model raw, without "
+                        "z-scoring by the train-set stats (only correct if "
+                        "the model was trained on unnormalized properties)")
     # Model shape flags (must match the checkpoint)
     p.add_argument("--vocab_size", type=int, default=80)
     p.add_argument("--embedding_dim", type=int, default=128)
@@ -63,16 +67,40 @@ def main(argv=None):
     ckpt = load_checkpoint(args.checkpoint)
     dec_params = ckpt["params"]["decoder"]
 
-    # Normalize the raw target properties with train-set stats if available.
-    mean = np.zeros((1, args.num_conditions), np.float32)
-    std = np.ones((1, args.num_conditions), np.float32)
-    alphabet = None
-    if args.data and Path(args.data).exists():
+    # Normalize the raw target properties with the train-set stats. The model
+    # was trained on z-scored conditions, so feeding raw targets (e.g. TPSA
+    # 90) silently mis-conditions generation — stats come from --data, or
+    # from the checkpoint (saved at train time), and their absence is an
+    # error unless --no_normalize explicitly opts out.
+    mean = std = None
+    stats = ckpt.get("data_stats") or {}
+    alphabet = stats.get("alphabet")
+    if args.data:
+        if not Path(args.data).exists():
+            raise FileNotFoundError(f"--data {args.data} does not exist")
         from mlx_vae_tpu.data.split import load_and_split
         train_ds, _, _, data = load_and_split(
             args.data, property_keys=tuple(["tpsa", "logp", "mw"][: args.num_conditions]))
         mean, std = train_ds.properties_mean, train_ds.properties_std
-        alphabet = data.get("alphabet")
+        alphabet = data.get("alphabet") or alphabet
+    elif stats.get("properties_mean") is not None:
+        mean = np.asarray(stats["properties_mean"], np.float32).reshape(1, -1)
+        std = np.asarray(stats["properties_std"], np.float32).reshape(1, -1)
+        print(f"Using property stats from checkpoint: mean={mean.flatten()} "
+              f"std={std.flatten()}")
+
+    if mean is None:
+        if not args.no_normalize:
+            raise SystemExit(
+                "ERROR: no property normalization stats available — the "
+                "checkpoint predates stats embedding and --data was not "
+                "given. Raw --target values would silently mis-condition "
+                "generation. Pass --data <train json>, or --no_normalize "
+                "to send targets to the model unscaled.")
+        print("WARNING: --no_normalize set; feeding raw --target values "
+              "to the model without z-scoring.")
+        mean = np.zeros((1, args.num_conditions), np.float32)
+        std = np.ones((1, args.num_conditions), np.float32)
 
     target = (np.asarray(args.target, np.float32)[None, :] - mean) / std
 

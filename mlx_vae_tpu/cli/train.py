@@ -141,7 +141,7 @@ def main(argv=None):
         print(f"✓ Generated synthetic dataset ({args.synthetic} molecules) at {args.data}")
 
     print("\nLoading dataset...")
-    train_dataset, val_dataset, test_dataset, _ = load_and_split(
+    train_dataset, val_dataset, test_dataset, data = load_and_split(
         args.data, seed=67, property_keys=property_keys)
 
     print("✓ Property normalization (using train set stats):")
@@ -213,6 +213,7 @@ def main(argv=None):
 
     print("\nCreating trainer...")
     trainer = ARCVAETrainer(vae.params, mcfg, tcfg, train_dataset)
+    trainer.alphabet = data.get("alphabet")
     print("✓ Trainer created")
 
     if args.resume:
@@ -259,12 +260,20 @@ def main(argv=None):
 
     trainer.plot_history(save_path=f"{args.checkpoint_dir}/training_history.png")
 
-    if args.eval_test and len(test_dataset) >= args.batch_size:
-        beta = trainer.compute_beta(args.epochs - 1)
-        tm = trainer._eval_batches(test_dataset, beta, None, "Test")
-        print(f"\nTest set ({len(test_dataset):,} samples): "
-              f"loss={tm['loss']:.4f} recon={tm['recon']:.4f} "
-              f"kl={tm['kl']:.4f}")
+    if args.eval_test:
+        # Under data parallelism partial batches are dropped (shapes must
+        # divide the mesh), so a too-small split has nothing to evaluate;
+        # otherwise _eval_batches handles partial batches fine.
+        if args.data_parallel and len(test_dataset) < args.batch_size:
+            print(f"\nSkipping --eval_test: test split has "
+                  f"{len(test_dataset)} samples < batch_size "
+                  f"{args.batch_size} under --data_parallel")
+        else:
+            beta = trainer.compute_beta(args.epochs - 1)
+            tm = trainer._eval_batches(test_dataset, beta, None, "Test")
+            print(f"\nTest set ({len(test_dataset):,} samples): "
+                  f"loss={tm['loss']:.4f} recon={tm['recon']:.4f} "
+                  f"kl={tm['kl']:.4f}")
 
     print("\n✓ Training complete! ✓")
 

@@ -23,10 +23,11 @@ _DTYPES = {
 class ModelConfig:
     """Static model hyperparameters.
 
-    Defaults mirror ``/root/reference/train.py:25-31``. ``dropout`` is
-    accepted for CLI parity but — exactly like the reference, which accepts
-    the flag and never instantiates a Dropout layer
-    (``/root/reference/models/encoder.py:24``) — it is not applied.
+    Defaults mirror ``/root/reference/train.py:25-31``. ``dropout`` holds the
+    rate; by default it is NOT applied — exactly like the reference, which
+    accepts the flag and never instantiates a Dropout layer
+    (``/root/reference/models/encoder.py:24``). Setting ``apply_dropout=True``
+    (below) opts into really applying it between encoder layers.
     """
 
     vocab_size: int = 80

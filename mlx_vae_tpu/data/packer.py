@@ -1,8 +1,11 @@
 """ctypes bridge to the native C++ sequence packer (``native/packer.cpp``).
 
-Compiled on first use with ``g++ -O3`` into ``native/libpacker.so`` (cached);
-falls back to a vectorized numpy implementation when no toolchain is
-available. Both paths are exercised by ``tests/test_data.py``.
+Always compiled from source on first use with ``g++ -O3`` into a per-user
+cache directory (``$XDG_CACHE_HOME/mlx_vae_tpu``); no prebuilt binary is
+ever shipped or loaded, so a library built on a different host/ISA can never
+be executed here (ADVICE r1). Falls back to a vectorized numpy
+implementation when no toolchain is available. Both paths are exercised by
+``tests/test_data.py``.
 """
 
 from __future__ import annotations
@@ -17,7 +20,13 @@ import numpy as np
 
 _NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
 _SRC = _NATIVE_DIR / "packer.cpp"
-_SO = _NATIVE_DIR / "libpacker.so"
+
+
+def _so_path() -> Path:
+    cache = Path(os.environ.get("XDG_CACHE_HOME",
+                                Path.home() / ".cache")) / "mlx_vae_tpu"
+    return cache / "libpacker.so"
+
 
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
@@ -25,13 +34,17 @@ _tried = False
 
 def _build() -> Optional[ctypes.CDLL]:
     try:
-        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+        so = _so_path()
+        if not so.exists() or so.stat().st_mtime < _SRC.stat().st_mtime:
+            so.parent.mkdir(parents=True, exist_ok=True)
+            # Portable ISA flags on purpose: this .so may outlive the host
+            # that built it in a copied cache dir, and the hot loops are
+            # memcpy-bound anyway (-march=native buys nothing measurable).
             subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 str(_SRC), "-o", str(_SO)],
+                ["g++", "-O3", "-shared", "-fPIC", str(_SRC), "-o", str(so)],
                 check=True, capture_output=True,
             )
-        lib = ctypes.CDLL(str(_SO))
+        lib = ctypes.CDLL(str(so))
         lib.pack_sequences.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,

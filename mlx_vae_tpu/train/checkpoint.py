@@ -23,7 +23,13 @@ from mlx_vae_tpu.utils.tree import tree_from_numpy, tree_to_numpy
 
 
 def save_checkpoint(path, epoch: int, params: dict, opt_states: dict,
-                    history: dict, best_val_loss: float = float("inf")) -> None:
+                    history: dict, best_val_loss: float = float("inf"),
+                    data_stats: Optional[dict] = None) -> None:
+    """``data_stats`` (optional, extra keys beyond the reference contract):
+    ``{"properties_mean", "properties_std", "alphabet"}`` — the train-set
+    normalization stats and token alphabet, stored so bulk generation can
+    z-score raw property targets without re-reading the dataset (ADVICE r1:
+    previously a missing ``--data`` silently meant mean=0/std=1)."""
     ckpt = {
         "epoch": epoch,
         "encoder_weights": tree_to_numpy(params["encoder"]),
@@ -36,6 +42,12 @@ def save_checkpoint(path, epoch: int, params: dict, opt_states: dict,
     if "predictor" in params:
         ckpt["predictor_weights"] = tree_to_numpy(params["predictor"])
         ckpt["predictor_optimizer_state"] = tree_to_numpy(opt_states["predictor"])
+    if data_stats:
+        for k in ("properties_mean", "properties_std"):
+            if data_stats.get(k) is not None:
+                ckpt[k] = np.asarray(data_stats[k], np.float32)
+        if data_stats.get("alphabet"):
+            ckpt["alphabet"] = np.asarray(list(data_stats["alphabet"]), object)
     np.savez(str(path), **ckpt)
 
 
@@ -57,6 +69,14 @@ def load_checkpoint(path) -> dict:
             opt_states[name] = tree_from_numpy(raw[okey].item())
     out["params"] = params
     out["opt_states"] = opt_states
+    out["data_stats"] = {
+        "properties_mean": np.asarray(raw["properties_mean"])
+        if "properties_mean" in raw else None,
+        "properties_std": np.asarray(raw["properties_std"])
+        if "properties_std" in raw else None,
+        "alphabet": [str(t) for t in raw["alphabet"]]
+        if "alphabet" in raw else None,
+    }
     return out
 
 

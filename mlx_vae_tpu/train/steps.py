@@ -39,6 +39,21 @@ def _scalar_metrics(loss_dict) -> dict:
     return m
 
 
+def _reduce_metrics_over(axis: str, metrics: dict) -> dict:
+    """Cross-shard metric reduction: loss means pmean; the latent-bound
+    diagnostics are global extrema, so averaging them would understate the
+    bounds the explosion guard prints — use pmax/pmin (ADVICE r1)."""
+    out = {}
+    for k, v in metrics.items():
+        if k in ("mu_abs_max", "logvar_max"):
+            out[k] = jax.lax.pmax(v, axis)
+        elif k == "logvar_min":
+            out[k] = jax.lax.pmin(v, axis)
+        else:
+            out[k] = jax.lax.pmean(v, axis)
+    return out
+
+
 def _train_body(params: dict, opt_states: dict, mcfg: ModelConfig,
                 tcfg: TrainConfig, x, conditions, key, beta, tf_ratio):
     """Shared step body: loss + grads + joint clip + per-component Adam."""
@@ -189,7 +204,7 @@ def make_shmap_train_step(mesh, mcfg: ModelConfig, tcfg: TrainConfig):
 
         (_, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         grads = jax.lax.pmean(grads, "data")
-        metrics = jax.lax.pmean(_scalar_metrics(loss_dict), "data")
+        metrics = _reduce_metrics_over("data", _scalar_metrics(loss_dict))
 
         names = ["encoder", "decoder"] + (["predictor"] if has_predictor else [])
         grad_tuple = tuple(grads[n] for n in names)
@@ -233,7 +248,7 @@ def make_shmap_eval_step(mesh, mcfg: ModelConfig, tcfg: TrainConfig):
             lambda_mi=tcfg.lambda_mi, target_mi=tcfg.target_mi,
             training=False,
         )
-        return jax.lax.pmean(_scalar_metrics(d), "data")
+        return _reduce_metrics_over("data", _scalar_metrics(d))
 
     shmap = jax.shard_map(
         local_eval, mesh=mesh,

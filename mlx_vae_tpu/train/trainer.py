@@ -83,6 +83,11 @@ class ARCVAETrainer:
         self.checkpoint_dir = Path(tcfg.checkpoint_dir)
         self.checkpoint_dir.mkdir(parents=True, exist_ok=True)
 
+        # Token alphabet (set by the CLI when the dataset ships one) — stored
+        # in checkpoints alongside the property normalization stats so
+        # generation is self-contained.
+        self.alphabet = None
+
         self.history = make_history()
 
         # Device placement / data parallelism.
@@ -297,6 +302,13 @@ class ARCVAETrainer:
             flush_pending(LAG)
 
         # drain the tail: any incomplete chunk, one step at a time
+        if chunk and not getattr(self, "_warned_partial_chunk", False):
+            self._warned_partial_chunk = True
+            print(f"\n   Note: trailing partial chunk of {len(chunk)} batch(es) "
+                  f"with steps_per_dispatch={K} runs as single steps — each "
+                  "distinct remainder shape compiles its own program (slow on "
+                  "remote backends); size the dataset a multiple of "
+                  "batch_size*K to avoid this.")
         for j, (m, c) in enumerate(chunk):
             self.params, self.opt_states, metrics = one_step(m, c)
             start_async_copy(metrics)
@@ -360,9 +372,15 @@ class ARCVAETrainer:
 
     def _get_latent_stats(self) -> Dict[str, float]:
         """Latent stats + monitor-MI on one 64-batch (reference
-        ``trainer.py:524-575``)."""
+        ``trainer.py:524-575``); datasets smaller than 64 use one
+        full-dataset batch instead of a partial one."""
+        monitor_bs = min(64, len(self.dataset))
+        if monitor_bs == 0:
+            return {k: 0.0 for k in
+                    ("mu_min", "mu_max", "mu_mean", "mu_std", "logvar_min",
+                     "logvar_max", "logvar_mean", "logvar_std", "mutual_info")}
         molecules, conditions = next(iter(
-            self.dataset.to_batches(64, shuffle=False)))
+            self.dataset.to_batches(monitor_bs, shuffle=False)))
         stats = jax.device_get(monitor_step(
             self.params["encoder"], self.mcfg,
             jnp.asarray(molecules), jnp.asarray(conditions)))
@@ -378,13 +396,20 @@ class ARCVAETrainer:
     def save_checkpoint(self, epoch: int, is_best: bool = False,
                         best_val_loss: float = float("inf")) -> None:
         path = self.checkpoint_dir / f"checkpoint_epoch_{epoch:03d}.npz"
+        data_stats = {
+            "properties_mean": getattr(self.dataset, "properties_mean", None),
+            "properties_std": getattr(self.dataset, "properties_std", None),
+            "alphabet": self.alphabet,
+        }
         if is_best:
             best = self.checkpoint_dir / "checkpoint_best.npz"
             ckpt_io.save_checkpoint(best, epoch, self.params, self.opt_states,
-                                    self.history, best_val_loss)
+                                    self.history, best_val_loss,
+                                    data_stats=data_stats)
             print(f"    Saved checkpoint: {best}")
         ckpt_io.save_checkpoint(path, epoch, self.params, self.opt_states,
-                                self.history, best_val_loss)
+                                self.history, best_val_loss,
+                                data_stats=data_stats)
         print(f"    Saved checkpoint: {path}")
 
     def load_checkpoint(self, checkpoint_path) -> int:

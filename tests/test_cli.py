@@ -67,3 +67,51 @@ def test_generate_cli_end_to_end(tmp_path, monkeypatch):
     assert toks.shape == (64, 16)
     assert 0.0 <= g["validity"] <= 1.0
     assert "selfies" in g  # alphabet present in the synthetic dataset
+
+    # Without --data: property stats + alphabet come from the checkpoint
+    # (ADVICE r1 — previously this silently used mean=0/std=1).
+    out2 = tmp_path / "gen2.json"
+    gen_main([
+        "--checkpoint", str(tmp_path / "ck" / "checkpoint_best.npz"),
+        "--num_molecules", "32", "--batch_size", "32", "--max_length", "16",
+        "--target", "60",
+        "--vocab_size", "24", "--embedding_dim", "16", "--hidden_dim", "32",
+        "--latent_dim", "8", "--num_layers", "2",
+        "--output", str(out2),
+    ])
+    with open(out2) as f:
+        g2 = json.load(f)
+    assert np.asarray(g2["tokens"]).shape == (32, 16)
+    assert "selfies" in g2  # alphabet recovered from the checkpoint
+
+
+def test_generate_cli_errors_without_stats(tmp_path):
+    """A checkpoint without embedded stats + no --data must refuse to run
+    rather than silently mis-condition (ADVICE r1)."""
+    import jax
+    import numpy as np
+    from mlx_vae_tpu.cli.generate import main as gen_main
+    from mlx_vae_tpu.config import ModelConfig
+    from mlx_vae_tpu.models import ARCVAE
+    from mlx_vae_tpu.train.checkpoint import save_checkpoint
+    from mlx_vae_tpu.train.optim import adam_init
+
+    mcfg = ModelConfig(vocab_size=24, embedding_dim=16, hidden_dim=32,
+                       latent_dim=8, num_conditions=1, num_layers=2)
+    vae = ARCVAE(mcfg, jax.random.PRNGKey(0))
+    opt = {n: adam_init(p) for n, p in vae.params.items()}
+    ck = tmp_path / "old.npz"
+    save_checkpoint(ck, 0, vae.params, opt, {})  # no data_stats (pre-r2 ckpt)
+
+    shape_flags = ["--vocab_size", "24", "--embedding_dim", "16",
+                   "--hidden_dim", "32", "--latent_dim", "8",
+                   "--num_layers", "2"]
+    with pytest.raises(SystemExit):
+        gen_main(["--checkpoint", str(ck), "--num_molecules", "16",
+                  "--batch_size", "16", "--max_length", "8",
+                  "--output", str(tmp_path / "g.json")] + shape_flags)
+    # --no_normalize is the explicit escape hatch
+    gen_main(["--checkpoint", str(ck), "--num_molecules", "16",
+              "--batch_size", "16", "--max_length", "8", "--no_normalize",
+              "--output", str(tmp_path / "g.json")] + shape_flags)
+    assert (tmp_path / "g.json").exists()
