@@ -38,6 +38,9 @@ def build_parser():
                    help="Pass --target values to the model raw, without "
                         "z-scoring by the train-set stats (only correct if "
                         "the model was trained on unnormalized properties)")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="Shard each generation batch over all visible "
+                        "devices (shard_map over a ('data',) mesh)")
     # Model shape flags (must match the checkpoint)
     p.add_argument("--vocab_size", type=int, default=80)
     p.add_argument("--embedding_dim", type=int, default=128)
@@ -50,10 +53,47 @@ def build_parser():
     return p
 
 
+def make_generate_fn(mcfg, dec_params, use_fused, max_length, temperature,
+                     greedy, mesh=None):
+    """Batch generator ``(z, cond, key) -> tokens [B, L]``.
+
+    With a mesh, the batch axis is sharded over ``('data',)`` via
+    ``jax.shard_map`` — each device samples its z-shard locally (the fused
+    Pallas kernel runs per-shard unchanged), no collectives needed; greedy
+    output is bit-identical to the single-device path.
+    """
+    from mlx_vae_tpu.models.sampling import generate_with_temperature
+    from mlx_vae_tpu.ops.pallas_decoder import pallas_generate
+
+    def local(z, cond, kg):
+        if use_fused:
+            return pallas_generate(dec_params, mcfg, z, cond, kg,
+                                   max_length=max_length,
+                                   temperature=temperature, greedy=greedy)
+        return generate_with_temperature(dec_params, mcfg, z, cond, kg,
+                                         max_length=max_length,
+                                         temperature=temperature,
+                                         greedy=greedy)
+
+    if mesh is None:
+        return jax.jit(local)
+
+    from jax.sharding import PartitionSpec as P
+
+    def local_shard(z, cond, kg):
+        # distinct per-shard noise for the stochastic path
+        kg = jax.random.fold_in(kg, jax.lax.axis_index("data"))
+        return local(z, cond, kg)
+
+    shmap = jax.shard_map(local_shard, mesh=mesh,
+                          in_specs=(P("data"), P("data"), P()),
+                          out_specs=P("data"), check_vma=False)
+    return jax.jit(shmap)
+
+
 def main(argv=None):
     from mlx_vae_tpu.config import ModelConfig
     from mlx_vae_tpu.data.prepare import selfies_validity, decode_tokens
-    from mlx_vae_tpu.models.sampling import generate_with_temperature
     from mlx_vae_tpu.train.checkpoint import load_checkpoint
 
     args = build_parser().parse_args(argv)
@@ -104,32 +144,43 @@ def main(argv=None):
 
     target = (np.asarray(args.target, np.float32)[None, :] - mean) / std
 
-    gen = jax.jit(generate_with_temperature,
-                  static_argnames=("cfg", "max_length", "greedy"))
-
     key = jax.random.PRNGKey(0)
     cond = jnp.broadcast_to(jnp.asarray(target),
                             (args.batch_size, args.num_conditions))
 
     small_vocab = mcfg.vocab_size < 256
 
-    from mlx_vae_tpu.ops.pallas_decoder import (
-        pallas_generate, pallas_generate_supported)
-    use_fused = pallas_generate_supported(mcfg, args.batch_size)
+    mesh = None
+    if args.data_parallel and len(jax.devices()) > 1:
+        from mlx_vae_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh()
+        nd = mesh.shape["data"]
+        if args.batch_size % nd != 0:
+            raise SystemExit(f"--batch_size {args.batch_size} must divide "
+                             f"over {nd} data-parallel devices")
+        print(f"Data-parallel generation over {nd} devices")
+
+    from mlx_vae_tpu.ops.pallas_decoder import pallas_generate_supported
+    local_batch = args.batch_size // (mesh.shape["data"] if mesh else 1)
+    use_fused = pallas_generate_supported(mcfg, local_batch)
     if use_fused:
         print("Using fused Pallas generation kernel")
 
+    gen_shard = make_generate_fn(mcfg, dec_params, use_fused,
+                                 args.max_length, args.temperature,
+                                 args.greedy, mesh=mesh)
+
     def one_batch(key):
         kz, kg = jax.random.split(key)
+        # z drawn globally (sharded afterwards) so data-parallel greedy
+        # output is bit-identical to single-device.
         z = jax.random.normal(kz, (args.batch_size, mcfg.latent_dim), jnp.float32)
-        if use_fused:
-            toks = pallas_generate(dec_params, mcfg, z, cond, kg,
-                                   max_length=args.max_length,
-                                   temperature=args.temperature,
-                                   greedy=args.greedy)
-        else:
-            toks = gen(dec_params, mcfg, z, cond, kg, max_length=args.max_length,
-                       temperature=args.temperature, greedy=args.greedy)
+        c = cond
+        if mesh is not None:
+            from mlx_vae_tpu.parallel.mesh import batch_sharding
+            z = jax.device_put(z, batch_sharding(mesh))
+            c = jax.device_put(cond, batch_sharding(mesh))
+        toks = gen_shard(z, c, kg)
         # Quarter the device->host transfer when token ids fit in a byte.
         return toks.astype(jnp.uint8) if small_vocab else toks
 

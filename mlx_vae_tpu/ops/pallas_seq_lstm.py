@@ -32,11 +32,30 @@ def _block_rows(H: int, B: int) -> int:
     return min(_BB if H <= 256 else 128, B)
 
 
+# Same empirical v5e VMEM budget as the decoder kernels (see
+# ops/pallas_train_decoder.py): resident sets up to ~58MB measured good,
+# 93MB fails Mosaic compilation.
+_VMEM_BUDGET = 64 * 1024 * 1024
+
+
+def _vmem_estimate(input_size: int, hidden: int, BB: int,
+                   wbytes: int = 2) -> int:
+    """Rough bytes of the backward kernel's VMEM-resident set."""
+    I, H = input_size, hidden
+    weights = (I + H) * 4 * H * wbytes
+    dW = (I + H) * 4 * H * 4 + 4 * H * 4
+    # streamed per-t blocks (gates/cs/csp/hsp/xs/dhs/dxs), double-buffered
+    streams = 2 * (BB * 4 * H * wbytes + 3 * BB * H * wbytes
+                   + BB * I * wbytes + BB * H * 4 + BB * I * 4)
+    scratch = 2 * BB * H * 4
+    return weights + dW + streams + scratch
+
+
 def pallas_seq_supported(input_size: int, hidden: int, batch: int) -> bool:
-    # hidden <= 512 keeps the VMEM-resident weights + dW accumulators + live
-    # blocks inside the ~16MB budget; larger hidden falls back to the scan.
-    return (input_size % 128 == 0 and hidden % 128 == 0 and batch % 8 == 0
-            and hidden <= 512)
+    if not (input_size % 128 == 0 and hidden % 128 == 0 and batch % 8 == 0):
+        return False
+    BB = _block_rows(hidden, batch)
+    return _vmem_estimate(input_size, hidden, BB) <= _VMEM_BUDGET
 
 
 # ----------------------------------------------------------------- forward

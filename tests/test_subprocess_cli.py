@@ -1,0 +1,65 @@
+"""Process-level CLI smoke tests (VERDICT r1 missing #3).
+
+The in-process tests (``tests/test_cli.py``) call ``main(argv)`` directly;
+these run the actual ``python train.py`` / ``python generate.py`` entry
+shims as subprocesses, exercising argparse error paths, import order, and
+exit codes the way a user invokes them.
+"""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _run(args, timeout=600):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "host_platform_device_count" not in f)
+    return subprocess.run([sys.executable] + args, env=env, cwd=REPO,
+                          capture_output=True, text=True, timeout=timeout)
+
+
+SHAPES = ["--vocab_size", "24", "--embedding_dim", "16", "--hidden_dim", "32",
+          "--latent_dim", "8", "--num_layers", "2"]
+
+
+def test_train_and_generate_as_processes(tmp_path):
+    data = str(tmp_path / "d.json")
+    ck = str(tmp_path / "ck")
+    r = _run(["train.py", "--data", data, "--synthetic", "200",
+              "--epochs", "1", "--batch_size", "32", "--learning_rate", "3e-3",
+              "--checkpoint_dir", ck, "--checkpoint_freq", "1", "--verbose"]
+             + SHAPES)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Training complete" in r.stdout
+    assert (Path(ck) / "checkpoint_best.npz").exists()
+    assert (Path(ck) / "training_history.json").exists()
+
+    out = tmp_path / "gen.json"
+    r = _run(["generate.py", "--checkpoint", f"{ck}/checkpoint_best.npz",
+              "--num_molecules", "32", "--batch_size", "32",
+              "--max_length", "12", "--target", "60",
+              "--output", str(out)] + SHAPES)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Using property stats from checkpoint" in r.stdout
+    with open(out) as f:
+        g = json.load(f)
+    assert len(g["tokens"]) == 32
+
+
+def test_train_argparse_error_exits_nonzero(tmp_path):
+    r = _run(["train.py", "--epochs", "not_a_number"], timeout=120)
+    assert r.returncode == 2  # argparse usage error
+    assert "usage" in r.stderr.lower()
+
+
+def test_generate_requires_checkpoint(tmp_path):
+    r = _run(["generate.py", "--num_molecules", "8"], timeout=120)
+    assert r.returncode == 2
+    assert "checkpoint" in r.stderr.lower()
