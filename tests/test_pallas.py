@@ -300,6 +300,81 @@ class TestFusedDecoderCE:
                 err_msg=f"grad mismatch at {jax.tree_util.keystr(k)}")
 
 
+class TestFusedEncoderStack:
+    def _setup(self, num_layers):
+        from mlx_vae_tpu.config import ModelConfig
+        from mlx_vae_tpu.models.encoder import init_encoder_params
+        cfg = ModelConfig(vocab_size=24, embedding_dim=16, hidden_dim=128,
+                          latent_dim=8, num_conditions=1,
+                          num_layers=num_layers)
+        params = init_encoder_params(jax.random.PRNGKey(0), cfg)
+        x = jax.random.randint(jax.random.PRNGKey(1), (8, 9), 0, 24)
+        return cfg, params, x
+
+    def _scan_pooled(self, cfg, params, x):
+        """Embedding + stacked scans + last-step pooling (the fallback path)."""
+        from mlx_vae_tpu.models.layers import embedding
+        from mlx_vae_tpu.ops.lstm import lstm_sequence
+        B = x.shape[0]
+        h0 = jnp.zeros((B, cfg.hidden_dim))
+        c0 = jnp.zeros((B, cfg.hidden_dim))
+        out = embedding(params["embedding"], x, cfg.dtype)
+        for i in range(cfg.num_layers):
+            out = lstm_sequence(params[f"lstm_layer_{i}"], out, h0, c0,
+                                dtype=cfg.dtype)[0]
+        return out[:, -1, :]
+
+    @pytest.mark.parametrize("n_layers", [1, 2, 3])
+    def test_pooled_feature_matches_scan(self, n_layers):
+        from mlx_vae_tpu.ops.pallas_encoder import encoder_stack_pallas
+        cfg, params, x = self._setup(n_layers)
+        ref = self._scan_pooled(cfg, params, x)
+        got = encoder_stack_pallas(params, cfg, x, True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize("n_layers", [1, 2, 3])
+    def test_gradients_match_autodiff(self, n_layers):
+        from mlx_vae_tpu.ops.pallas_encoder import encoder_stack_pallas
+        cfg, params, x = self._setup(n_layers)
+        w = jax.random.normal(jax.random.PRNGKey(5), (8, cfg.hidden_dim))
+
+        g1 = jax.grad(lambda p: jnp.sum(self._scan_pooled(cfg, p, x) * w))(params)
+        g2 = jax.grad(lambda p: jnp.sum(
+            encoder_stack_pallas(p, cfg, x, True) * w))(params)
+        flat2 = {jax.tree_util.keystr(k): v
+                 for k, v in jax.tree_util.tree_leaves_with_path(g2)}
+        for k, a in jax.tree_util.tree_leaves_with_path(g1):
+            b = flat2[jax.tree_util.keystr(k)]
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-4,
+                err_msg=f"grad mismatch at {jax.tree_util.keystr(k)}")
+
+    def test_full_encoder_grads_through_heads(self):
+        """encoder_apply equivalence is covered on TPU by the oracle/bench
+        paths; here check the kernel composes with the heads under grad."""
+        from mlx_vae_tpu.models.encoder import _heads
+        from mlx_vae_tpu.ops.pallas_encoder import encoder_stack_pallas
+        cfg, params, x = self._setup(2)
+        cond = jax.random.normal(jax.random.PRNGKey(2), (8, 1))
+
+        def loss(p):
+            mu, logvar = _heads(p, cfg, encoder_stack_pallas(p, cfg, x, True),
+                                cond)
+            return jnp.sum(mu * 1.3) + jnp.sum(logvar * 0.7)
+
+        def loss_ref(p):
+            mu, logvar = _heads(p, cfg, self._scan_pooled(cfg, p, x), cond)
+            return jnp.sum(mu * 1.3) + jnp.sum(logvar * 0.7)
+
+        g1 = jax.grad(loss_ref)(params)
+        g2 = jax.grad(loss)(params)
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-4, atol=1e-4)
+
+
 def test_stochastic_sampling_statistics():
     """Chi-square + temperature-monotonicity validation of the fused
     sampler's Gumbel path (VERDICT r1 weak #3). The Mosaic PRNG has no CPU
