@@ -3,8 +3,9 @@
 
 Metric: steady-state **training tokens/sec/chip** of the jitted train step on
 the reference's default model config (vocab 80, emb 128, hidden 256,
-latent 128, 2 LSTM layers — ``/root/reference/train.py:25-31``) at batch 1024,
-seq len 64.
+latent 128, 2 LSTM layers — ``/root/reference/train.py:25-31``) at batch 4096,
+seq len 64. Throughput rises mildly with batch (measured 10.9M tok/s at
+B=1024 -> 11.65M at B=4096, bf16, fused kernels); 4096 is where it flattens.
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md). The driver
 target is ">= 20x MLX-on-M2 training tokens/sec". We estimate the reference's
@@ -39,7 +40,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_train(batch: int = 1024, seq_len: int = 64, steps: int = 96,
+def bench_train(batch: int = 4096, seq_len: int = 64, steps: int = 96,
                 warmup: int = 1, compute_dtype: str = "bfloat16",
                 use_pallas: bool = None, scan_unroll: int = 1,
                 steps_per_dispatch: int = 8) -> float:

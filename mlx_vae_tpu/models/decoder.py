@@ -115,6 +115,18 @@ def decoder_apply(
                 return decoder_train_pallas(params, cfg, h_init, cond_f,
                                             target_seq.astype(jnp.int32),
                                             False, tf_mask)
+
+        # Custom-VJP path for shapes beyond the kernels: bf16 residual
+        # storage instead of remat's f32-carry + recompute (decoder_cv.py).
+        # Auto-on at H>=768 like the encoder's; the flag forces it.
+        if (not cfg.reference_zero_state
+                and (cfg.custom_vjp or cfg.hidden_dim >= 768)):
+            from mlx_vae_tpu.ops.decoder_cv import decoder_train_cv
+            hidden_z = linear(params["z_to_hidden"], z, cfg.dtype)
+            hidden_c = linear(params["condition_to_hidden"], cond_f, cfg.dtype)
+            h_init = (hidden_z + hidden_c) / 2.0
+            return decoder_train_cv(params, cfg, h_init, cond_f,
+                                    target_seq.astype(jnp.int32), tf_mask)
     else:
         L = max_length
         targets_t = jnp.zeros((L, B), jnp.int32)

@@ -1,0 +1,250 @@
+"""Custom-VJP teacher-forced decoder for shapes beyond the Pallas kernels.
+
+At hidden sizes the fused training-decoder kernels cannot compile (weights
+no longer fit VMEM-resident — measured H>=1024 on v5e, see
+``ops/pallas_train_decoder.py``), the scan decoder's autodiff has a forced
+tradeoff: storing the f32 gate activations OOMs HBM at the scaled config
+(19.75G needed of 15.75G, measured), so ``cfg.remat`` recomputes the whole
+forward inside the backward (+~1x forward FLOPs), and the remat checkpoint
+still stores the f32 (h, c) carries — 8.6GB at hidden 1024 / batch 2048.
+
+This module is the third point on that curve: a hand-written VJP that
+stores the per-step residuals in the **compute dtype** (bf16) — gates
+[L, n, B, 4H] + h/c [L, n, B, H] + input tokens — which is *less* memory
+than remat's f32 carries AND avoids the recompute. The backward is one
+reverse-time scan threading the (dh, dc) chains for all layers with the
+weight-gradient accumulators carried in f32 (unrolled so the carry traffic
+amortizes), exactly the dataflow of the Pallas backward kernel
+(``pallas_train_decoder._bwd_kernel``) expressed in XLA.
+
+Gradient semantics match the scan decoder: the argmax feedback token
+carries no gradient. Numerics of the forward match ``decoder_apply``'s
+scan cell-for-cell (same matmul dtypes and f32 accumulation).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from mlx_vae_tpu.models.layers import linear
+
+
+def _acts(gates, H):
+    i = jax.nn.sigmoid(gates[..., :H])
+    f = jax.nn.sigmoid(gates[..., H:2 * H])
+    g = jnp.tanh(gates[..., 2 * H:3 * H])
+    o = jax.nn.sigmoid(gates[..., 3 * H:])
+    return i, f, g, o
+
+
+def _weights(params, cfg, dtype):
+    """Per-layer combined [in + H, 4H] weights (layer 0: in = E + C)."""
+    ws = []
+    for l in range(cfg.num_layers):
+        p = params[f"lstm_layer_{l}"]
+        ws.append(jnp.concatenate([p["Wx"].T, p["Wh"].T], axis=0).astype(dtype))
+    return ws
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def decoder_train_cv(params: dict, cfg, h_init, conditions, target_seq,
+                     tf_mask):
+    """Teacher-forced decode -> logits ``[B, L, vocab]``.
+
+    ``h_init [B, H]`` is the shared per-layer initial hidden state (cell
+    states start at zero); ``tf_mask [L] bool`` are the per-step coin flips.
+    """
+    logits, _ = _cv_fwd(params, cfg, h_init, conditions, target_seq, tf_mask)
+    return logits
+
+
+def _cv_fwd(params, cfg, h_init, conditions, target_seq, tf_mask):
+    B, L = target_seq.shape
+    n, H = cfg.num_layers, cfg.hidden_dim
+    dtype = cfg.dtype
+    cond_f = conditions.astype(jnp.float32)
+
+    ws = _weights(params, cfg, dtype)
+    bs = [params[f"lstm_layer_{l}"]["bias"].astype(jnp.float32)
+          for l in range(n)]
+    emb_w = params["embedding"]["weight"].astype(dtype)
+    V = emb_w.shape[0]
+
+    targets_t = jnp.swapaxes(target_seq.astype(jnp.int32), 0, 1)  # [L, B]
+    h0 = jnp.broadcast_to(h_init[None], (n,) + h_init.shape).astype(jnp.float32)
+    c0 = jnp.zeros_like(h0)
+    token0 = jnp.full((B,), cfg.start_token, jnp.int32)
+
+    def step(carry, xs):
+        h, c, token = carry
+        tf_t, target_t = xs
+        oh = jax.nn.one_hot(token, V, dtype=dtype)
+        # .astype(dtype) after the f32-accumulated dot: bit-matches the scan
+        # path's embedding() in bf16 mode
+        emb = jnp.dot(oh, emb_w,
+                      preferred_element_type=jnp.float32).astype(dtype)
+        x = jnp.concatenate([emb.astype(jnp.float32), cond_f], axis=1)
+        new_h, new_c, gates_all = [], [], []
+        for l in range(n):
+            inp = jnp.concatenate([x.astype(dtype), h[l].astype(dtype)], axis=1)
+            gates = jnp.dot(inp, ws[l], preferred_element_type=jnp.float32) \
+                + bs[l]
+            i_, f_, g_, o_ = _acts(gates, H)
+            c_n = f_ * c[l] + i_ * g_
+            h_n = o_ * jnp.tanh(c_n)
+            new_h.append(h_n)
+            new_c.append(c_n)
+            gates_all.append(gates.astype(dtype))
+            x = h_n
+        h = jnp.stack(new_h)
+        c = jnp.stack(new_c)
+        logits = linear(params["fc_out"], x, dtype)
+        pred = jnp.argmax(logits, axis=1).astype(jnp.int32)
+        next_token = jnp.where(tf_t, target_t, pred)
+        # residuals: gates + c only, as per-layer tuples (stacking [n, B, .]
+        # arrays made XLA pick transposed layouts whose copies OOM'd the
+        # scaled config, and lane-concatenating them cost a 16MB copy per
+        # step); h is NOT stored, it is recomputed in the backward as
+        # o * tanh(c) from these.
+        store = (tuple(gates_all),
+                 tuple(ci.astype(dtype) for ci in new_c),
+                 token)
+        return (h, c, next_token), (logits, store)
+
+    _, (logits_t, stores) = jax.lax.scan(step, (h0, c0, token0),
+                                         (tf_mask, targets_t))
+    residuals = (params, h_init, conditions, target_seq, stores)
+    return jnp.swapaxes(logits_t, 0, 1), residuals
+
+
+def _cv_fwd_rule(params, cfg, h_init, conditions, target_seq, tf_mask):
+    return _cv_fwd(params, cfg, h_init, conditions, target_seq, tf_mask)
+
+
+def _cv_bwd_rule(cfg, residuals, dlogits):
+    params, h_init, conditions, target_seq, stores = residuals
+    gates_t, cs_t, toks_t = stores  # tuples of [L, B, 4H] / [L, B, H]; [L, B]
+    L, B = toks_t.shape
+    n, H = cfg.num_layers, cfg.hidden_dim
+    dtype = cfg.dtype
+    cond_f = conditions.astype(jnp.float32)
+
+    ws = _weights(params, cfg, dtype)
+    emb_w = params["embedding"]["weight"].astype(dtype)
+    V = emb_w.shape[0]
+    E = emb_w.shape[1]
+    C = cond_f.shape[1]
+    wout = params["fc_out"]["weight"].astype(dtype)  # [V, H]
+
+    dlog_t = jnp.swapaxes(dlogits.astype(jnp.float32), 0, 1)  # [L, B, V]
+    h_init_f = h_init.astype(jnp.float32)
+
+    def zeros_w():
+        return ([jnp.zeros_like(w, jnp.float32) for w in ws],
+                [jnp.zeros((4 * H,), jnp.float32) for _ in range(n)],
+                jnp.zeros((V, H), jnp.float32),   # dwout
+                jnp.zeros((V,), jnp.float32),     # dbout
+                jnp.zeros((V, E), jnp.float32),   # demb
+                jnp.zeros((B, C), jnp.float32))   # dcond
+
+    def h_of(gates_row, cs_row):
+        """Recompute h_t = o * tanh(c_t) from one layer's stored residuals."""
+        o = jax.nn.sigmoid(gates_row[:, 3 * H:].astype(jnp.float32))
+        return o * jnp.tanh(cs_row.astype(jnp.float32))
+
+    def bstep(carry, xs):
+        dh, dc, acc = carry
+        dws, dbs, dwout, dbout, demb, dcond = acc
+        dlog, tok, t, gates_rows, cs_rows = xs
+        is_first = (t == 0)
+        # current rows stream through xs; only the PREVIOUS-step rows are
+        # fetched dynamically (materializing shifted copies of the gates
+        # arrays doubled the dominant residual buffers and OOM'd the scaled
+        # config).
+        tp = jnp.maximum(t - 1, 0)
+        gp_rows = tuple(jax.lax.dynamic_index_in_dim(g, tp, 0, False)
+                        for g in gates_t)
+        cp_rows = tuple(jax.lax.dynamic_index_in_dim(cn, tp, 0, False)
+                        for cn in cs_t)
+        h_top = h_of(gates_rows[n - 1], cs_rows[n - 1])
+        dlog_c = dlog.astype(dtype)
+        dwout = dwout + jnp.dot(dlog_c.T, h_top.astype(dtype),
+                                preferred_element_type=jnp.float32)
+        dbout = dbout + jnp.sum(dlog, axis=0)
+        from_above = jnp.dot(dlog_c, wout, preferred_element_type=jnp.float32)
+
+        new_dh, new_dc = [None] * n, [None] * n
+        for l in range(n - 1, -1, -1):
+            g_all = gates_rows[l].astype(jnp.float32)
+            i_, f_, g_, o_ = _acts(g_all, H)
+            c_prev = jnp.where(is_first, 0.0,
+                               cp_rows[l].astype(jnp.float32))
+            h_prev = jnp.where(is_first, h_init_f,
+                               h_of(gp_rows[l], cp_rows[l])).astype(dtype)
+            tc = jnp.tanh(cs_rows[l].astype(jnp.float32))
+            dh_total = dh[l] + from_above
+            dc_tot = dc[l] + dh_total * o_ * (1.0 - tc * tc)
+            dgates = jnp.concatenate([
+                dc_tot * g_ * i_ * (1.0 - i_),
+                dc_tot * c_prev * f_ * (1.0 - f_),
+                dc_tot * i_ * (1.0 - g_ * g_),
+                dh_total * tc * o_ * (1.0 - o_),
+            ], axis=1).astype(dtype)
+            dinp = jnp.dot(dgates, ws[l].T, preferred_element_type=jnp.float32)
+            dbs[l] = dbs[l] + jnp.sum(dgates.astype(jnp.float32), axis=0)
+            new_dc[l] = dc_tot * f_
+            if l > 0:
+                x_in = h_of(gates_rows[l - 1], cs_rows[l - 1]).astype(dtype)
+                inp = jnp.concatenate([x_in, h_prev], axis=1)
+                dws[l] = dws[l] + jnp.dot(
+                    inp.T, dgates, preferred_element_type=jnp.float32)
+                from_above = dinp[:, :H]
+                new_dh[l] = dinp[:, H:]
+            else:
+                oh = jax.nn.one_hot(tok, V, dtype=dtype)
+                emb = jnp.dot(oh, emb_w,
+                              preferred_element_type=jnp.float32).astype(dtype)
+                x0 = jnp.concatenate([emb.astype(jnp.float32), cond_f],
+                                     axis=1).astype(dtype)
+                inp0 = jnp.concatenate([x0, h_prev], axis=1)
+                dws[0] = dws[0] + jnp.dot(
+                    inp0.T, dgates, preferred_element_type=jnp.float32)
+                demb = demb + jnp.dot(
+                    oh.T, dinp[:, :E].astype(dtype),
+                    preferred_element_type=jnp.float32)
+                dcond = dcond + dinp[:, E:E + C]
+                new_dh[0] = dinp[:, E + C:]
+        return ((jnp.stack(new_dh), jnp.stack(new_dc),
+                 (dws, dbs, dwout, dbout, demb, dcond)), None)
+
+    init = (jnp.zeros((n, B, H), jnp.float32),
+            jnp.zeros((n, B, H), jnp.float32), zeros_w())
+    (dh, _, acc), _ = jax.lax.scan(
+        bstep, init, (dlog_t, toks_t, jnp.arange(L), gates_t, cs_t),
+        reverse=True, unroll=4)
+    dws, dbs, dwout, dbout, demb, dcond = acc
+
+    dparams = {
+        "embedding": {"weight": demb},
+        "fc_out": {"weight": dwout, "bias": dbout},
+        "z_to_hidden": jax.tree_util.tree_map(
+            jnp.zeros_like, params["z_to_hidden"]),
+        "condition_to_hidden": jax.tree_util.tree_map(
+            jnp.zeros_like, params["condition_to_hidden"]),
+    }
+    for l in range(n):
+        in_w = dws[l].shape[0] - H
+        dparams[f"lstm_layer_{l}"] = {"Wx": dws[l][:in_w].T,
+                                      "Wh": dws[l][in_w:].T,
+                                      "bias": dbs[l]}
+    dh_init = jnp.sum(dh, axis=0)  # every layer's h_prev at t=0 is h_init
+    import numpy as _np
+    dtargets = _np.zeros(target_seq.shape, dtype=jax.dtypes.float0)
+    dtf = _np.zeros((L,), dtype=jax.dtypes.float0)
+    return dparams, dh_init, dcond, dtargets, dtf
+
+
+decoder_train_cv.defvjp(_cv_fwd_rule, _cv_bwd_rule)

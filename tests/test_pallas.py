@@ -300,6 +300,62 @@ class TestFusedDecoderCE:
                 err_msg=f"grad mismatch at {jax.tree_util.keystr(k)}")
 
 
+class TestDecoderCustomVJP:
+    """decoder_train_cv (pure-JAX custom VJP for H beyond the kernels) must
+    match the scan decoder in forward and gradients."""
+
+    @pytest.mark.parametrize("n_layers", [1, 2, 3])
+    def test_forward_and_grads_match_scan(self, n_layers):
+        from mlx_vae_tpu.config import ModelConfig
+        from mlx_vae_tpu.models import init_decoder_params
+        from mlx_vae_tpu.models.layers import linear
+        from mlx_vae_tpu.ops.decoder_cv import decoder_train_cv
+
+        cfg = ModelConfig(vocab_size=24, embedding_dim=16, hidden_dim=128,
+                          latent_dim=8, num_conditions=1,
+                          num_layers=n_layers)
+        params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+        B, L = 8, 9
+        z = jax.random.normal(jax.random.PRNGKey(1), (B, cfg.latent_dim))
+        cond = jax.random.normal(jax.random.PRNGKey(2), (B, 1)).astype(jnp.float32)
+        targets = jax.random.randint(jax.random.PRNGKey(3), (B, L), 0, 24)
+        tf_mask = jnp.asarray([1, 0, 1, 1, 0, 1, 0, 1, 1], bool)
+        w = jax.random.normal(jax.random.PRNGKey(9), (L, cfg.vocab_size))
+
+        helper = TestFusedTrainDecoder()
+
+        def h_init(p, zz, cc):
+            return (linear(p["z_to_hidden"], zz, cfg.dtype)
+                    + linear(p["condition_to_hidden"], cc, cfg.dtype)) / 2.0
+
+        def loss_ref(p, zz, cc):
+            logits = helper._scan_logits(cfg, p, zz, cc, targets, tf_mask)
+            return jnp.sum(logits * w[None])
+
+        def loss_cv(p, zz, cc):
+            logits = decoder_train_cv(p, cfg, h_init(p, zz, cc), cc,
+                                      targets, tf_mask)
+            return jnp.sum(logits * w[None])
+
+        # forward parity
+        ref_logits = helper._scan_logits(cfg, params, z, cond, targets, tf_mask)
+        got_logits = decoder_train_cv(params, cfg, h_init(params, z, cond),
+                                      cond, targets, tf_mask)
+        np.testing.assert_allclose(np.asarray(got_logits),
+                                   np.asarray(ref_logits),
+                                   rtol=1e-5, atol=1e-5)
+
+        g1 = jax.grad(loss_ref, argnums=(0, 1, 2))(params, z, cond)
+        g2 = jax.grad(loss_cv, argnums=(0, 1, 2))(params, z, cond)
+        flat2 = {jax.tree_util.keystr(k): v
+                 for k, v in jax.tree_util.tree_leaves_with_path(g2)}
+        for k, a in jax.tree_util.tree_leaves_with_path(g1):
+            b = flat2[jax.tree_util.keystr(k)]
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-4,
+                err_msg=f"grad mismatch at {jax.tree_util.keystr(k)}")
+
+
 class TestFusedEncoderStack:
     def _setup(self, num_layers):
         from mlx_vae_tpu.config import ModelConfig
