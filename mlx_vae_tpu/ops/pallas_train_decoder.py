@@ -61,10 +61,11 @@ def _round_up(x: int, m: int) -> int:
 def _block_rows(H: int, n: int, B: int) -> int:
     """Batch rows per block: the bwd kernel's live set scales with H and the
     layer count (weights + dW accumulators + per-layer streamed blocks);
-    measured on v5e, BB=256 fits at H=256/n=2 but fails scoped-VMEM
+    measured on v5e, BB=512 at H<=256/n<=2 beats 256 by ~4% (12.08M vs
+    11.56M tok/s on the default-config bench); BB=256 fails scoped-VMEM
     allocation at H>=384."""
     # token arrays are blocked (8, BB): Mosaic needs BB % 128 == 0 (or == B)
-    rows = 256 if (H <= 256 and n <= 2) else 128
+    rows = 512 if (H <= 256 and n <= 2) else 128
     return min(rows, B)
 
 
