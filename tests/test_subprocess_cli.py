@@ -53,6 +53,23 @@ def test_train_and_generate_as_processes(tmp_path):
     assert len(g["tokens"]) == 32
 
 
+def test_diagnostics_scripts_run(tmp_path):
+    """The three reference-parity diagnostic scripts must run as processes
+    (the reference's only 'test suite' — SURVEY.md §4)."""
+    data = str(tmp_path / "d.json")
+    r = _run(["-m", "mlx_vae_tpu.data.prepare", "--synthetic", "200",
+              "--vocab_size", "24", "--max_length", "12", "--output", data],
+             timeout=300)
+    assert r.returncode == 0, r.stderr[-1000:]
+    for script, extra in [
+        ("diagnostics/test_loss_signs.py", []),
+        ("diagnostics/data_diagnostic.py", ["--data", data]),
+        ("diagnostics/check_decoder_grads.py", ["--data", data]),
+    ]:
+        r = _run([script] + extra, timeout=580)
+        assert r.returncode == 0, f"{script}: {(r.stdout + r.stderr)[-1500:]}"
+
+
 def test_train_argparse_error_exits_nonzero(tmp_path):
     r = _run(["train.py", "--epochs", "not_a_number"], timeout=120)
     assert r.returncode == 2  # argparse usage error
