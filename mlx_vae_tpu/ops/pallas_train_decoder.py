@@ -59,13 +59,22 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _block_rows(H: int, n: int, B: int) -> int:
-    """Batch rows per block: the bwd kernel's live set scales with H and the
-    layer count (weights + dW accumulators + per-layer streamed blocks);
-    measured on v5e, BB=512 at H<=256/n<=2 beats 256 by ~4% (12.08M vs
-    11.56M tok/s on the default-config bench); BB=256 fails scoped-VMEM
-    allocation at H>=384."""
+    """Batch rows per block — a measured table (v5e, B=1024+): bigger blocks
+    amortize the VMEM-resident weights over more rows, until the streamed
+    per-step blocks push the kernel over the compile ceiling.
+
+    * H<=256, n<=2: BB=512 (+4% over 256 on the default-config bench)
+    * H<=256, n<=4: BB=256 (12.03 vs 12.58ms at H=256/4L)
+    * H<=512, n<=2: BB=256 (18.59 vs 20.15ms at H=512/2L)
+    * else: BB=128 (BB=256 at H=512/4L fails Mosaic compilation)
+    """
     # token arrays are blocked (8, BB): Mosaic needs BB % 128 == 0 (or == B)
-    rows = 512 if (H <= 256 and n <= 2) else 128
+    if H <= 256 and n <= 2:
+        rows = 512
+    elif (H <= 256 and n <= 4) or (H <= 512 and n <= 2):
+        rows = 256
+    else:
+        rows = 128
     return min(rows, B)
 
 
