@@ -41,16 +41,29 @@ def build_parser():
     p.add_argument("--data_parallel", action="store_true",
                    help="Shard each generation batch over all visible "
                         "devices (shard_map over a ('data',) mesh)")
-    # Model shape flags (must match the checkpoint)
-    p.add_argument("--vocab_size", type=int, default=80)
-    p.add_argument("--embedding_dim", type=int, default=128)
-    p.add_argument("--hidden_dim", type=int, default=256)
-    p.add_argument("--latent_dim", type=int, default=128)
-    p.add_argument("--num_conditions", type=int, default=1)
-    p.add_argument("--num_layers", type=int, default=2)
+    # Model shape flags. Default: inferred from the checkpoint's parameter
+    # shapes; pass explicitly only to assert a shape (mismatch = hard error).
+    p.add_argument("--vocab_size", type=int, default=None)
+    p.add_argument("--embedding_dim", type=int, default=None)
+    p.add_argument("--hidden_dim", type=int, default=None)
+    p.add_argument("--latent_dim", type=int, default=None)
+    p.add_argument("--num_conditions", type=int, default=None)
+    p.add_argument("--num_layers", type=int, default=None)
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
     return p
+
+
+def infer_model_shape(dec_params: dict) -> dict:
+    """Model dims from decoder parameter shapes (the checkpoint is the
+    source of truth; MLX-style key layout, see ``train/checkpoint.py``)."""
+    V, E = dec_params["embedding"]["weight"].shape
+    H = dec_params["fc_out"]["weight"].shape[1]
+    latent = dec_params["z_to_hidden"]["weight"].shape[1]
+    C = dec_params["condition_to_hidden"]["weight"].shape[1]
+    n = sum(1 for k in dec_params if k.startswith("lstm_layer_"))
+    return {"vocab_size": V, "embedding_dim": E, "hidden_dim": H,
+            "latent_dim": latent, "num_conditions": C, "num_layers": n}
 
 
 def make_generate_fn(mcfg, dec_params, use_fused, max_length, temperature,
@@ -98,14 +111,17 @@ def main(argv=None):
 
     args = build_parser().parse_args(argv)
 
-    mcfg = ModelConfig(
-        vocab_size=args.vocab_size, embedding_dim=args.embedding_dim,
-        hidden_dim=args.hidden_dim, latent_dim=args.latent_dim,
-        num_conditions=args.num_conditions, num_layers=args.num_layers,
-        compute_dtype=args.compute_dtype,
-    )
     ckpt = load_checkpoint(args.checkpoint)
     dec_params = ckpt["params"]["decoder"]
+
+    shape = infer_model_shape(dec_params)
+    for name, inferred in shape.items():
+        given = getattr(args, name)
+        if given is not None and given != inferred:
+            raise SystemExit(
+                f"ERROR: --{name} {given} contradicts the checkpoint "
+                f"(parameter shapes imply {name}={inferred})")
+    mcfg = ModelConfig(compute_dtype=args.compute_dtype, **shape)
 
     # Normalize the raw target properties with the train-set stats. The model
     # was trained on z-scored conditions, so feeding raw targets (e.g. TPSA
@@ -120,7 +136,7 @@ def main(argv=None):
             raise FileNotFoundError(f"--data {args.data} does not exist")
         from mlx_vae_tpu.data.split import load_and_split
         train_ds, _, _, data = load_and_split(
-            args.data, property_keys=tuple(["tpsa", "logp", "mw"][: args.num_conditions]))
+            args.data, property_keys=tuple(["tpsa", "logp", "mw"][: mcfg.num_conditions]))
         mean, std = train_ds.properties_mean, train_ds.properties_std
         alphabet = data.get("alphabet") or alphabet
     elif stats.get("properties_mean") is not None:
@@ -139,14 +155,14 @@ def main(argv=None):
                 "to send targets to the model unscaled.")
         print("WARNING: --no_normalize set; feeding raw --target values "
               "to the model without z-scoring.")
-        mean = np.zeros((1, args.num_conditions), np.float32)
-        std = np.ones((1, args.num_conditions), np.float32)
+        mean = np.zeros((1, mcfg.num_conditions), np.float32)
+        std = np.ones((1, mcfg.num_conditions), np.float32)
 
     target = (np.asarray(args.target, np.float32)[None, :] - mean) / std
 
     key = jax.random.PRNGKey(0)
     cond = jnp.broadcast_to(jnp.asarray(target),
-                            (args.batch_size, args.num_conditions))
+                            (args.batch_size, mcfg.num_conditions))
 
     small_vocab = mcfg.vocab_size < 256
 

@@ -118,13 +118,22 @@ def decoder_apply(
 
         # Custom-VJP path for shapes beyond the kernels: bf16 residual
         # storage instead of remat's f32-carry + recompute (decoder_cv.py).
-        # Auto-on at H>=768 like the encoder's; the flag forces it.
+        # Auto-on at H>=768 like the encoder's; the flag forces it. On TPU
+        # the backward additionally runs as per-layer fused Pallas kernels
+        # (decoder_train_cvp) — the token feedback carries no gradient, so
+        # the backward factorizes by layer even though the forward cannot.
         if (not cfg.reference_zero_state
                 and (cfg.custom_vjp or cfg.hidden_dim >= 768)):
-            from mlx_vae_tpu.ops.decoder_cv import decoder_train_cv
+            from mlx_vae_tpu.ops.decoder_cv import (
+                decoder_cvp_supported, decoder_train_cv, decoder_train_cvp)
             hidden_z = linear(params["z_to_hidden"], z, cfg.dtype)
             hidden_c = linear(params["condition_to_hidden"], cond_f, cfg.dtype)
             h_init = (hidden_z + hidden_c) / 2.0
+            if (cfg.use_pallas and jax.default_backend() == "tpu"
+                    and decoder_cvp_supported(cfg, B)):
+                return decoder_train_cvp(params, cfg, h_init, cond_f,
+                                         target_seq.astype(jnp.int32),
+                                         tf_mask, False)
             return decoder_train_cv(params, cfg, h_init, cond_f,
                                     target_seq.astype(jnp.int32), tf_mask)
     else:

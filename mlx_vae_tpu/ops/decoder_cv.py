@@ -61,7 +61,8 @@ def decoder_train_cv(params: dict, cfg, h_init, conditions, target_seq,
     return logits
 
 
-def _cv_fwd(params, cfg, h_init, conditions, target_seq, tf_mask):
+def _cv_fwd(params, cfg, h_init, conditions, target_seq, tf_mask,
+            store_h: bool = False):
     B, L = target_seq.shape
     n, H = cfg.num_layers, cfg.hidden_dim
     dtype = cfg.dtype
@@ -108,9 +109,11 @@ def _cv_fwd(params, cfg, h_init, conditions, target_seq, tf_mask):
         # arrays made XLA pick transposed layouts whose copies OOM'd the
         # scaled config, and lane-concatenating them cost a 16MB copy per
         # step); h is NOT stored, it is recomputed in the backward as
-        # o * tanh(c) from these.
+        # o * tanh(c) from these. The Pallas backward (store_h=True) streams
+        # h directly, so it stores the per-layer h too.
         store = (tuple(gates_all),
                  tuple(ci.astype(dtype) for ci in new_c),
+                 tuple(hi.astype(dtype) for hi in new_h) if store_h else (),
                  token)
         return (h, c, next_token), (logits, store)
 
@@ -126,7 +129,7 @@ def _cv_fwd_rule(params, cfg, h_init, conditions, target_seq, tf_mask):
 
 def _cv_bwd_rule(cfg, residuals, dlogits):
     params, h_init, conditions, target_seq, stores = residuals
-    gates_t, cs_t, toks_t = stores  # tuples of [L, B, 4H] / [L, B, H]; [L, B]
+    gates_t, cs_t, _, toks_t = stores  # tuples of [L, B, 4H] / [L, B, H]; [L, B]
     L, B = toks_t.shape
     n, H = cfg.num_layers, cfg.hidden_dim
     dtype = cfg.dtype
@@ -248,3 +251,134 @@ def _cv_bwd_rule(cfg, residuals, dlogits):
 
 
 decoder_train_cv.defvjp(_cv_fwd_rule, _cv_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# Pallas-backward variant: the decoder's argmax/TF token feedback carries no
+# gradient, so — although the *forward* cannot be decomposed by layer (step
+# t's bottom input depends on step t-1's top output) — the *backward*
+# factorizes into independent per-layer reverse-time passes, top-down. Each
+# pass is exactly the fused per-layer LSTM backward kernel
+# (``ops/pallas_seq_lstm.lstm_seq_bwd_pallas_tm``: weights + dW accumulators
+# VMEM-resident, gate-axis-blocked buffers at large H), and the fc_out /
+# embedding gradients become single large flat matmuls over ``[L*B, .]``.
+# This is what lets the scaled config (hidden 1024 / 4 layers — reference
+# BASELINE scaled shape) run a fused backward even though no fused
+# whole-decoder kernel can hold its weights in VMEM.
+# ---------------------------------------------------------------------------
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def decoder_cvp_supported(cfg, batch: int) -> bool:
+    """Whether every per-layer backward kernel compiles for this shape."""
+    from mlx_vae_tpu.ops.pallas_seq_lstm import pallas_seq_supported
+    H = cfg.hidden_dim
+    I0 = _round_up(cfg.embedding_dim + cfg.num_conditions, 128)
+    if not pallas_seq_supported(I0, H, batch):
+        return False
+    if cfg.num_layers > 1 and not pallas_seq_supported(H, H, batch):
+        return False
+    return True
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 6))
+def decoder_train_cvp(params: dict, cfg, h_init, conditions, target_seq,
+                      tf_mask, interpret: bool = False):
+    """``decoder_train_cv`` with the per-layer Pallas backward."""
+    logits, _ = _cv_fwd(params, cfg, h_init, conditions, target_seq, tf_mask,
+                        store_h=True)
+    return logits
+
+
+def _cvp_fwd_rule(params, cfg, h_init, conditions, target_seq, tf_mask,
+                  interpret):
+    return _cv_fwd(params, cfg, h_init, conditions, target_seq, tf_mask,
+                   store_h=True)
+
+
+def _cvp_bwd_rule(cfg, interpret, residuals, dlogits):
+    from mlx_vae_tpu.ops.pallas_seq_lstm import lstm_seq_bwd_pallas_tm
+
+    params, h_init, conditions, target_seq, stores = residuals
+    gates_t, cs_t, hs_t, toks_t = stores
+    L, B = toks_t.shape
+    n, H = cfg.num_layers, cfg.hidden_dim
+    dtype = cfg.dtype
+    cond_f = conditions.astype(jnp.float32)
+
+    ws = _weights(params, cfg, dtype)
+    emb_w = params["embedding"]["weight"].astype(dtype)
+    V, E = emb_w.shape
+    C = cond_f.shape[1]
+    wout = params["fc_out"]["weight"].astype(dtype)  # [V, H]
+
+    # fc_out gradients + the top layer's output cotangent as flat matmuls.
+    dlog_flat = jnp.swapaxes(dlogits, 0, 1).reshape(L * B, V)
+    dlog_c = dlog_flat.astype(dtype)
+    h_top_flat = hs_t[n - 1].reshape(L * B, H).astype(dtype)
+    dwout = jnp.dot(dlog_c.T, h_top_flat, preferred_element_type=jnp.float32)
+    dbout = jnp.sum(dlog_flat.astype(jnp.float32), axis=0)
+    from_above = jnp.dot(dlog_c, wout, preferred_element_type=jnp.float32)
+    dh_stream = from_above.reshape(L, B, H)
+
+    h_init_f = h_init.astype(jnp.float32)
+    c0 = jnp.zeros((B, H), jnp.float32)
+    zrow = jnp.zeros((B, H), jnp.float32)
+    dh_init = jnp.zeros((B, H), jnp.float32)
+    dparams = {
+        "embedding": {},
+        "fc_out": {"weight": dwout, "bias": dbout},
+        "z_to_hidden": jax.tree_util.tree_map(
+            jnp.zeros_like, params["z_to_hidden"]),
+        "condition_to_hidden": jax.tree_util.tree_map(
+            jnp.zeros_like, params["condition_to_hidden"]),
+    }
+
+    for l in range(n - 1, 0, -1):
+        xs_l = hs_t[l - 1].astype(dtype)  # layer l's input = layer l-1's h
+        dxs, dwcat, db, dh0, _ = lstm_seq_bwd_pallas_tm(
+            ws[l], xs_l, h_init_f, c0, hs_t[l], cs_t[l], gates_t[l],
+            dh_stream, zrow, zrow, interpret)
+        dparams[f"lstm_layer_{l}"] = {"Wx": dwcat[:H].T, "Wh": dwcat[H:].T,
+                                      "bias": db}
+        dh_init = dh_init + dh0
+        dh_stream = dxs
+
+    # Layer 0: input stream = [embedding, conditions], zero-padded to a
+    # lane-aligned width (zero weight rows -> exact gradients, zero extra).
+    toks_flat = toks_t.reshape(L * B)
+    oh_flat = jax.nn.one_hot(toks_flat, V, dtype=dtype)
+    emb_flat = jnp.dot(oh_flat, emb_w,
+                       preferred_element_type=jnp.float32).astype(dtype)
+    I0 = E + C
+    I0p = _round_up(I0, 128)
+    xs0 = jnp.concatenate(
+        [emb_flat.reshape(L, B, E).astype(jnp.float32),
+         jnp.broadcast_to(cond_f[None], (L, B, C)),
+         jnp.zeros((L, B, I0p - I0), jnp.float32)], axis=2).astype(dtype)
+    w0 = ws[0]  # [E+C+H, 4H]
+    w0p = jnp.concatenate(
+        [w0[:I0], jnp.zeros((I0p - I0, 4 * H), w0.dtype), w0[I0:]], axis=0)
+    dxs0, dwcat0, db0, dh0, _ = lstm_seq_bwd_pallas_tm(
+        w0p, xs0, h_init_f, c0, hs_t[0], cs_t[0], gates_t[0],
+        dh_stream, zrow, zrow, interpret)
+    dparams["lstm_layer_0"] = {"Wx": dwcat0[:I0].T, "Wh": dwcat0[I0p:].T,
+                               "bias": db0}
+    dh_init = dh_init + dh0
+
+    dxs0_flat = dxs0.reshape(L * B, I0p)
+    demb = jnp.dot(oh_flat.T, dxs0_flat[:, :E].astype(dtype),
+                   preferred_element_type=jnp.float32)
+    dcond = jnp.sum(dxs0[:, :, E:E + C], axis=0)
+    dparams["embedding"]["weight"] = demb
+
+    import numpy as _np
+    dtargets = _np.zeros(target_seq.shape, dtype=jax.dtypes.float0)
+    dtf = _np.zeros((L,), dtype=jax.dtypes.float0)
+    return dparams, dh_init, dcond, dtargets, dtf
+
+
+decoder_train_cvp.defvjp(_cvp_fwd_rule, _cvp_bwd_rule)

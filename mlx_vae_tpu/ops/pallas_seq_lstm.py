@@ -39,6 +39,42 @@ def _block_rows(H: int, B: int) -> int:
 # keeps a margin above every proven shape.
 _VMEM_BUDGET = 32 * 1024 * 1024
 
+# Gate-axis-blocked variant (H >= 768): the Mosaic failure above is a
+# per-buffer limit, so the weight / dW buffers are split into G blocks along
+# the 4H axis, each at most _MAX_BUF bytes (the decoder kernel's proven
+# largest buffer is 8.4MB; 5MB keeps a margin). Totals may then go up to the
+# decoder-kernel-proven 64MB.
+_MAX_BUF = 5 * 1024 * 1024
+_VMEM_BUDGET_BLK = 64 * 1024 * 1024
+
+# The blocked backward's fully-unrolled per-gate matmuls keep ~41MB of stack
+# temporaries live at H=1024/BB=128, over Mosaic's default 16MB scoped-vmem
+# limit — raise the per-kernel limit instead of shrinking the batch block
+# (smaller BB shrinks the dW matmuls' contraction dim, which costs MXU
+# utilization where this kernel spends its FLOPs).
+_BLK_COMPILER_PARAMS = pltpu.CompilerParams(
+    vmem_limit_bytes=112 * 1024 * 1024)
+
+
+_FORCE_G = None  # test hook: force a gate-block count at any shape
+
+
+def _gate_blocks(input_size: int, hidden: int) -> int:
+    """Blocks to split the 4H gate axis into (1 = unblocked kernels)."""
+    if _FORCE_G:
+        return _FORCE_G
+    I, H = input_size, hidden
+    if _vmem_estimate(I, H, _block_rows(H, 10 ** 9)) <= _VMEM_BUDGET:
+        return 1
+    for G in (2, 4, 8):
+        cols = 4 * H // G
+        if (4 * H) % G or cols % 128:
+            continue
+        biggest = max((I + H) * cols * 2, max(I, H) * cols * 4)
+        if biggest <= _MAX_BUF:
+            return G
+    return 0
+
 
 def _vmem_estimate(input_size: int, hidden: int, BB: int,
                    wbytes: int = 2) -> int:
@@ -57,7 +93,11 @@ def pallas_seq_supported(input_size: int, hidden: int, batch: int) -> bool:
     if not (input_size % 128 == 0 and hidden % 128 == 0 and batch % 8 == 0):
         return False
     BB = _block_rows(hidden, batch)
-    return _vmem_estimate(input_size, hidden, BB) <= _VMEM_BUDGET
+    G = _gate_blocks(input_size, hidden)
+    if G == 0:
+        return False
+    budget = _VMEM_BUDGET if G == 1 else _VMEM_BUDGET_BLK
+    return _vmem_estimate(input_size, hidden, BB) <= budget
 
 
 # ----------------------------------------------------------------- forward
@@ -77,6 +117,44 @@ def _fwd_kernel(H, xs_ref, h0_ref, c0_ref, w_ref, b_ref,
     x = xs_ref[0]
     inp = jnp.concatenate([x, h_scr[:].astype(x.dtype)], axis=1)
     gates = jnp.dot(inp, w_ref[:], preferred_element_type=jnp.float32) + b_ref[0]
+    i = jax.nn.sigmoid(gates[:, :H])
+    f = jax.nn.sigmoid(gates[:, H:2 * H])
+    g = jnp.tanh(gates[:, 2 * H:3 * H])
+    o = jax.nn.sigmoid(gates[:, 3 * H:])
+    c_new = f * c_scr[:] + i * g
+    h_new = o * jnp.tanh(c_new)
+    h_scr[:] = h_new
+    c_scr[:] = c_new
+    hs_ref[0] = h_new.astype(hs_ref.dtype)
+    cs_ref[0] = c_new.astype(cs_ref.dtype)
+    gates_ref[0] = gates.astype(gates_ref.dtype)
+
+    @pl.when(t == L - 1)
+    def _():
+        hf_ref[:] = h_new
+        cf_ref[:] = c_new
+
+
+def _fwd_kernel_blk(H, G, *refs):
+    """Gate-axis-blocked forward: per-block weight buffers, same math."""
+    xs_ref, h0_ref, c0_ref = refs[:3]
+    w_refs = refs[3:3 + G]
+    b_ref = refs[3 + G]
+    hs_ref, cs_ref, gates_ref, hf_ref, cf_ref = refs[4 + G:9 + G]
+    h_scr, c_scr = refs[9 + G:]
+    t = pl.program_id(1)
+    L = pl.num_programs(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = h0_ref[:]
+        c_scr[:] = c0_ref[:]
+
+    x = xs_ref[0]
+    inp = jnp.concatenate([x, h_scr[:].astype(x.dtype)], axis=1)
+    parts = [jnp.dot(inp, wr[:], preferred_element_type=jnp.float32)
+             for wr in w_refs]
+    gates = jnp.concatenate(parts, axis=1) + b_ref[0]
     i = jax.nn.sigmoid(gates[:, :H])
     f = jax.nn.sigmoid(gates[:, H:2 * H])
     g = jnp.tanh(gates[:, 2 * H:3 * H])
@@ -162,6 +240,81 @@ def _bwd_kernel(H, I, gates_ref, cs_ref, csp_ref, hsp_ref, xs_ref,
         dc0_ref[:] = dc_scr[:]
 
 
+def _bwd_kernel_blk(H, I, G, *refs):
+    """Gate-axis-blocked backward: per-block weight / dW buffers."""
+    gates_ref, cs_ref, csp_ref, hsp_ref, xs_ref, h0_ref, c0_ref = refs[:7]
+    w_refs = refs[7:7 + G]
+    dhs_ref, dhf_ref, dcf_ref = refs[7 + G:10 + G]
+    dxs_ref = refs[10 + G]
+    dwx_refs = refs[11 + G:11 + 2 * G]
+    dwh_refs = refs[11 + 2 * G:11 + 3 * G]
+    db_ref, dh0_ref, dc0_ref = refs[11 + 3 * G:14 + 3 * G]
+    dh_scr, dc_scr = refs[14 + 3 * G:]
+    tg = pl.program_id(1)
+    L = pl.num_programs(1)
+    t = L - 1 - tg
+    ib = pl.program_id(0)
+    HG = 4 * H // G
+
+    @pl.when(jnp.logical_and(ib == 0, tg == 0))
+    def _():
+        for g_ in range(G):
+            dwx_refs[g_][:] = jnp.zeros_like(dwx_refs[g_])
+            dwh_refs[g_][:] = jnp.zeros_like(dwh_refs[g_])
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    @pl.when(tg == 0)
+    def _():
+        dh_scr[:] = dhf_ref[:]
+        dc_scr[:] = dcf_ref[:]
+
+    g_all = gates_ref[0].astype(jnp.float32)
+    i = jax.nn.sigmoid(g_all[:, :H])
+    f = jax.nn.sigmoid(g_all[:, H:2 * H])
+    g = jnp.tanh(g_all[:, 2 * H:3 * H])
+    o = jax.nn.sigmoid(g_all[:, 3 * H:])
+    first = (t == 0)
+    c_prev = jnp.where(first, c0_ref[:], csp_ref[0].astype(jnp.float32))
+    h_prev = jnp.where(first, h0_ref[:], hsp_ref[0].astype(jnp.float32))
+    tc = jnp.tanh(cs_ref[0].astype(jnp.float32))
+
+    dh_total = dh_scr[:] + dhs_ref[0]
+    dc_tot = dc_scr[:] + dh_total * o * (1.0 - tc * tc)
+    dgates = jnp.concatenate([
+        dc_tot * g * i * (1.0 - i),
+        dc_tot * c_prev * f * (1.0 - f),
+        dc_tot * i * (1.0 - g * g),
+        dh_total * tc * o * (1.0 - o),
+    ], axis=1)
+    dgates_c = dgates.astype(w_refs[0].dtype)
+    x = xs_ref[0]
+    h_prev_c = h_prev.astype(w_refs[0].dtype)
+
+    dinp = None
+    for g_ in range(G):
+        dg_g = dgates_c[:, g_ * HG:(g_ + 1) * HG]
+        part = jax.lax.dot_general(
+            dg_g, w_refs[g_][:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dinp = part if dinp is None else dinp + part
+        dwx_refs[g_][:] += jax.lax.dot_general(
+            x, dg_g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dwh_refs[g_][:] += jax.lax.dot_general(
+            h_prev_c, dg_g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    db_ref[0] += jnp.sum(dgates, axis=0)
+
+    dxs_ref[0] = dinp[:, :I]
+    dh_scr[:] = dinp[:, I:]
+    dc_scr[:] = dc_tot * f
+
+    @pl.when(tg == L - 1)
+    def _():
+        dh0_ref[:] = dh_scr[:]
+        dc0_ref[:] = dc_scr[:]
+
+
 # ----------------------------------------------------------------- wrapper
 
 
@@ -192,23 +345,44 @@ def _fwd(params, xs, h0, c0, dtype, interpret):
     const = lambda shape: pl.BlockSpec(shape, lambda ib, t: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
 
+    G = _gate_blocks(I, H)
     store_dtype = dtype
-    hs_t, cs_t, gates_t, hf, cf = pl.pallas_call(
-        functools.partial(_fwd_kernel, H),
-        grid=grid,
-        in_specs=[tb(I), row(H), row(H), const((I + H, 4 * H)), const((1, 4 * H))],
-        out_specs=(tb(H), tb(H), tb(4 * H), row(H), row(H)),
-        out_shape=(
-            jax.ShapeDtypeStruct((L, B, H), store_dtype),   # hs (residual+out)
-            jax.ShapeDtypeStruct((L, B, H), store_dtype),   # cs (residual)
-            jax.ShapeDtypeStruct((L, B, 4 * H), store_dtype),
-            jax.ShapeDtypeStruct((B, H), jnp.float32),
-            jax.ShapeDtypeStruct((B, H), jnp.float32),
-        ),
-        scratch_shapes=[pltpu.VMEM((BB, H), jnp.float32),
-                        pltpu.VMEM((BB, H), jnp.float32)],
-        interpret=interpret,
-    )(xs_t, h0, c0, w, bias)
+    out_specs = (tb(H), tb(H), tb(4 * H), row(H), row(H))
+    out_shape = (
+        jax.ShapeDtypeStruct((L, B, H), store_dtype),   # hs (residual+out)
+        jax.ShapeDtypeStruct((L, B, H), store_dtype),   # cs (residual)
+        jax.ShapeDtypeStruct((L, B, 4 * H), store_dtype),
+        jax.ShapeDtypeStruct((B, H), jnp.float32),
+        jax.ShapeDtypeStruct((B, H), jnp.float32),
+    )
+    scratch = [pltpu.VMEM((BB, H), jnp.float32),
+               pltpu.VMEM((BB, H), jnp.float32)]
+    if G == 1:
+        hs_t, cs_t, gates_t, hf, cf = pl.pallas_call(
+            functools.partial(_fwd_kernel, H),
+            grid=grid,
+            in_specs=[tb(I), row(H), row(H), const((I + H, 4 * H)),
+                      const((1, 4 * H))],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(xs_t, h0, c0, w, bias)
+    else:
+        HG = 4 * H // G
+        w_blocks = [w[:, g * HG:(g + 1) * HG] for g in range(G)]
+        hs_t, cs_t, gates_t, hf, cf = pl.pallas_call(
+            functools.partial(_fwd_kernel_blk, H, G),
+            grid=grid,
+            in_specs=[tb(I), row(H), row(H)]
+            + [const((I + H, HG)) for _ in range(G)]
+            + [const((1, 4 * H))],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            compiler_params=_BLK_COMPILER_PARAMS,
+            interpret=interpret,
+        )(xs_t, h0, c0, *w_blocks, bias)
 
     hs = jnp.swapaxes(hs_t, 0, 1)
     residuals = (params, xs, h0, c0, hs_t, cs_t, gates_t)
@@ -219,20 +393,25 @@ def _fwd_rule(params, xs, h0, c0, dtype, interpret):
     return _fwd(params, xs, h0, c0, dtype, interpret)
 
 
-def _bwd_rule(dtype, interpret, residuals, cotangents):
-    params, xs, h0, c0, hs_t, cs_t, gates_t = residuals
-    dhs, (dhf, dcf) = cotangents
+def lstm_seq_bwd_pallas_tm(w, xs_t, h0, c0, hs_t, cs_t, gates_t,
+                           dhs_t, dhf, dcf, interpret: bool = False):
+    """Time-major fused LSTM-layer backward (reusable building block).
+
+    ``w [I+H, 4H]`` compute-dtype combined weight; ``xs_t [L, B, I]``
+    compute-dtype inputs; ``hs_t/cs_t/gates_t`` the forward's time-major
+    residuals; ``dhs_t [L, B, H]`` f32 per-step output cotangents;
+    ``dhf/dcf [B, H]`` f32 final-state cotangents. Returns
+    ``(dxs_t [L, B, I], dwcat [I+H, 4H], db [4H], dh0, dc0)`` — all f32.
+
+    Used by the ``lstm_sequence_pallas`` VJP and by the large-shape decoder
+    backward (``ops/decoder_cv.py``): the decoder's token feedback carries no
+    gradient, so its backward decomposes into exactly this per-layer kernel.
+    """
     L, B, H = hs_t.shape
-    I = xs.shape[-1]
-
-    w = jnp.concatenate([params["Wx"].T, params["Wh"].T], axis=0).astype(dtype)
-    xs_t = jnp.swapaxes(xs, 0, 1).astype(dtype)
-    dhs_t = jnp.swapaxes(dhs, 0, 1).astype(jnp.float32)
-    dhf = dhf.astype(jnp.float32)
-    dcf = dcf.astype(jnp.float32)
-
+    I = xs_t.shape[-1]
     BB = _block_rows(H, B)
     grid = (pl.cdiv(B, BB), L)
+    G = _gate_blocks(I, H)
 
     def rev(ib, tg):
         return (L - 1 - tg, ib, 0)
@@ -247,41 +426,91 @@ def _bwd_rule(dtype, interpret, residuals, cotangents):
     const = lambda shape: pl.BlockSpec(shape, lambda ib, tg: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
 
-    dxs_t, dwx_t, dwh_t, db, dh0, dc0 = pl.pallas_call(
-        functools.partial(_bwd_kernel, H, I),
-        grid=grid,
-        in_specs=[
-            tbr(4 * H),  # gates_t
-            tbr(H),      # cs (c_t)
-            tbp(H),      # cs_prev
-            tbp(H),      # hs_prev
-            tbr(I),      # xs
-            row(H), row(H),              # h0, c0
-            const((I + H, 4 * H)),       # w
-            tbr(H),                      # dhs
-            row(H), row(H),              # dhf, dcf
-        ],
-        out_specs=(
-            tbr(I),                       # dxs (time-major, reversed writes)
-            const((I, 4 * H)),            # dWx^T-layout [I, 4H]
-            const((H, 4 * H)),            # dWh^T-layout [H, 4H]
-            const((1, 4 * H)),            # dbias
-            row(H), row(H),               # dh0, dc0
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((L, B, I), jnp.float32),
-            jax.ShapeDtypeStruct((I, 4 * H), jnp.float32),
-            jax.ShapeDtypeStruct((H, 4 * H), jnp.float32),
-            jax.ShapeDtypeStruct((1, 4 * H), jnp.float32),
-            jax.ShapeDtypeStruct((B, H), jnp.float32),
-            jax.ShapeDtypeStruct((B, H), jnp.float32),
-        ),
-        scratch_shapes=[pltpu.VMEM((BB, H), jnp.float32),
-                        pltpu.VMEM((BB, H), jnp.float32)],
-        interpret=interpret,
-    )(gates_t, cs_t, cs_t, hs_t, xs_t, h0, c0, w, dhs_t, dhf, dcf)
+    scratch = [pltpu.VMEM((BB, H), jnp.float32),
+               pltpu.VMEM((BB, H), jnp.float32)]
+    if G == 1:
+        dxs_t, dwx_t, dwh_t, db, dh0, dc0 = pl.pallas_call(
+            functools.partial(_bwd_kernel, H, I),
+            grid=grid,
+            in_specs=[
+                tbr(4 * H),  # gates_t
+                tbr(H),      # cs (c_t)
+                tbp(H),      # cs_prev
+                tbp(H),      # hs_prev
+                tbr(I),      # xs
+                row(H), row(H),              # h0, c0
+                const((I + H, 4 * H)),       # w
+                tbr(H),                      # dhs
+                row(H), row(H),              # dhf, dcf
+            ],
+            out_specs=(
+                tbr(I),                       # dxs (time-major, reversed writes)
+                const((I, 4 * H)),            # dWx^T-layout [I, 4H]
+                const((H, 4 * H)),            # dWh^T-layout [H, 4H]
+                const((1, 4 * H)),            # dbias
+                row(H), row(H),               # dh0, dc0
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((L, B, I), jnp.float32),
+                jax.ShapeDtypeStruct((I, 4 * H), jnp.float32),
+                jax.ShapeDtypeStruct((H, 4 * H), jnp.float32),
+                jax.ShapeDtypeStruct((1, 4 * H), jnp.float32),
+                jax.ShapeDtypeStruct((B, H), jnp.float32),
+                jax.ShapeDtypeStruct((B, H), jnp.float32),
+            ),
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(gates_t, cs_t, cs_t, hs_t, xs_t, h0, c0, w, dhs_t, dhf, dcf)
+    else:
+        HG = 4 * H // G
+        w_blocks = [w[:, g * HG:(g + 1) * HG] for g in range(G)]
+        outs = pl.pallas_call(
+            functools.partial(_bwd_kernel_blk, H, I, G),
+            grid=grid,
+            in_specs=[tbr(4 * H), tbr(H), tbp(H), tbp(H), tbr(I),
+                      row(H), row(H)]
+            + [const((I + H, HG)) for _ in range(G)]
+            + [tbr(H), row(H), row(H)],
+            out_specs=(tbr(I),)
+            + tuple(const((I, HG)) for _ in range(G))
+            + tuple(const((H, HG)) for _ in range(G))
+            + (const((1, 4 * H)), row(H), row(H)),
+            out_shape=(jax.ShapeDtypeStruct((L, B, I), jnp.float32),)
+            + tuple(jax.ShapeDtypeStruct((I, HG), jnp.float32)
+                    for _ in range(G))
+            + tuple(jax.ShapeDtypeStruct((H, HG), jnp.float32)
+                    for _ in range(G))
+            + (jax.ShapeDtypeStruct((1, 4 * H), jnp.float32),
+               jax.ShapeDtypeStruct((B, H), jnp.float32),
+               jax.ShapeDtypeStruct((B, H), jnp.float32)),
+            scratch_shapes=scratch,
+            compiler_params=_BLK_COMPILER_PARAMS,
+            interpret=interpret,
+        )(gates_t, cs_t, cs_t, hs_t, xs_t, h0, c0, *w_blocks,
+          dhs_t, dhf, dcf)
+        dxs_t = outs[0]
+        dwx_t = jnp.concatenate(outs[1:1 + G], axis=1)
+        dwh_t = jnp.concatenate(outs[1 + G:1 + 2 * G], axis=1)
+        db, dh0, dc0 = outs[1 + 2 * G:]
 
-    dparams = {"Wx": dwx_t.T, "Wh": dwh_t.T, "bias": db[0]}
+    dwcat = jnp.concatenate([dwx_t, dwh_t], axis=0)  # [I+H, 4H]
+    return dxs_t, dwcat, db[0], dh0, dc0
+
+
+def _bwd_rule(dtype, interpret, residuals, cotangents):
+    params, xs, h0, c0, hs_t, cs_t, gates_t = residuals
+    dhs, (dhf, dcf) = cotangents
+    I = xs.shape[-1]
+
+    w = jnp.concatenate([params["Wx"].T, params["Wh"].T], axis=0).astype(dtype)
+    xs_t = jnp.swapaxes(xs, 0, 1).astype(dtype)
+    dhs_t = jnp.swapaxes(dhs, 0, 1).astype(jnp.float32)
+
+    dxs_t, dwcat, db, dh0, dc0 = lstm_seq_bwd_pallas_tm(
+        w, xs_t, h0, c0, hs_t, cs_t, gates_t, dhs_t,
+        dhf.astype(jnp.float32), dcf.astype(jnp.float32), interpret)
+
+    dparams = {"Wx": dwcat[:I].T, "Wh": dwcat[I:].T, "bias": db}
     dxs = jnp.swapaxes(dxs_t, 0, 1)
     return dparams, dxs, dh0, dc0
 

@@ -115,3 +115,35 @@ def test_generate_cli_errors_without_stats(tmp_path):
               "--batch_size", "16", "--max_length", "8", "--no_normalize",
               "--output", str(tmp_path / "g.json")] + shape_flags)
     assert (tmp_path / "g.json").exists()
+
+
+def test_generate_cli_infers_shape_from_checkpoint(tmp_path, monkeypatch):
+    """Model dims default to the checkpoint's parameter shapes; an explicit
+    contradicting flag is a hard error (not a silent broadcast crash)."""
+    import pytest
+    from mlx_vae_tpu.cli.train import main as train_main
+    from mlx_vae_tpu.cli.generate import main as gen_main
+    monkeypatch.chdir(tmp_path)
+    train_main([
+        "--data", str(tmp_path / "d.json"), "--synthetic", "200",
+        "--vocab_size", "24", "--embedding_dim", "16", "--hidden_dim", "32",
+        "--latent_dim", "8", "--num_layers", "3",
+        "--epochs", "1", "--batch_size", "32",
+        "--checkpoint_dir", str(tmp_path / "ck"), "--checkpoint_freq", "1",
+    ])
+    out = tmp_path / "gen.json"
+    gen_main([  # no shape flags at all
+        "--checkpoint", str(tmp_path / "ck" / "checkpoint_best.npz"),
+        "--data", str(tmp_path / "d.json"),
+        "--num_molecules", "32", "--batch_size", "32", "--max_length", "12",
+        "--output", str(out),
+    ])
+    with open(out) as f:
+        assert np.asarray(json.load(f)["tokens"]).shape == (32, 12)
+    with pytest.raises(SystemExit, match="hidden_dim 64 contradicts"):
+        gen_main([
+            "--checkpoint", str(tmp_path / "ck" / "checkpoint_best.npz"),
+            "--data", str(tmp_path / "d.json"), "--hidden_dim", "64",
+            "--num_molecules", "32", "--batch_size", "32",
+            "--output", str(out),
+        ])

@@ -534,3 +534,124 @@ def test_fused_generation_n_layers(n_layers):
     got = pallas_generate(params, cfg, z, cond, k, max_length=12,
                           greedy=True, interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+class TestGateBlockedSeqLSTM:
+    """Gate-axis-blocked kernel variant (large-H shapes): the per-gate
+    weight/dW buffers must reproduce the unblocked kernels and autodiff."""
+
+    @pytest.mark.parametrize("G", [2, 4])
+    def test_forward_and_grads_match_autodiff(self, G):
+        from mlx_vae_tpu.ops import pallas_seq_lstm as psl
+        from mlx_vae_tpu.ops.lstm import init_lstm_params, lstm_sequence
+
+        I = H = 128
+        B, L = 16, 7
+        params = init_lstm_params(jax.random.PRNGKey(0), I, H)
+        xs = _rand((B, L, I), 1)
+        h0 = _rand((B, H), 2) * 0.1
+        c0 = _rand((B, H), 3) * 0.1
+
+        def loss(fn):
+            def f(p, x, h, c):
+                hs, (hf, cf) = fn(p, x, h, c)
+                return (jnp.sum(hs * 1.3) + jnp.sum(hf * 0.7)
+                        + jnp.sum(cf * 0.3))
+            return f
+
+        g1 = jax.grad(loss(lstm_sequence), argnums=(0, 1, 2, 3))(
+            params, xs, h0, c0)
+        psl._FORCE_G = G
+        try:
+            a, _ = lstm_sequence(params, xs, h0, c0)
+            b, _ = psl.lstm_sequence_pallas(params, xs, h0, c0,
+                                            jnp.float32, True)
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-5, atol=1e-5)
+            g2 = jax.grad(
+                loss(lambda p, x, h, c: psl.lstm_sequence_pallas(
+                    p, x, h, c, jnp.float32, True)),
+                argnums=(0, 1, 2, 3))(params, xs, h0, c0)
+        finally:
+            psl._FORCE_G = None
+        for a_, b_ in zip(jax.tree_util.tree_leaves(g1),
+                          jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(b_), np.asarray(a_),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_scaled_shapes_now_supported(self):
+        from mlx_vae_tpu.ops.pallas_seq_lstm import (_gate_blocks,
+                                                     pallas_seq_supported)
+        # Scaled config (BASELINE.md): hidden 1024, 4 layers, batch 2048.
+        assert pallas_seq_supported(1024, 1024, 2048)
+        assert pallas_seq_supported(128, 1024, 2048)  # encoder layer 0
+        assert _gate_blocks(1024, 1024) > 1
+        assert _gate_blocks(128, 128) == 1  # small shapes keep proven kernels
+        assert not pallas_seq_supported(100, 1024, 2048)  # unaligned input
+
+
+class TestDecoderPallasBackward:
+    """decoder_train_cvp: forward identical to decoder_train_cv (same scan);
+    the per-layer Pallas backward must match the scan backward's gradients —
+    including through the padded layer-0 input and the embedding path."""
+
+    @pytest.mark.parametrize("n_layers,G", [(1, 1), (3, 1), (2, 2)])
+    def test_grads_match_scan_backward(self, n_layers, G):
+        from mlx_vae_tpu.config import ModelConfig
+        from mlx_vae_tpu.models import init_decoder_params
+        from mlx_vae_tpu.models.layers import linear
+        from mlx_vae_tpu.ops import pallas_seq_lstm as psl
+        from mlx_vae_tpu.ops.decoder_cv import (decoder_train_cv,
+                                                decoder_train_cvp)
+
+        # E + C = 129: exercises the zero-padded lane alignment.
+        cfg = ModelConfig(vocab_size=24, embedding_dim=128, hidden_dim=128,
+                          latent_dim=8, num_conditions=1,
+                          num_layers=n_layers)
+        params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+        B, L = 8, 9
+        z = _rand((B, cfg.latent_dim), 1)
+        cond = _rand((B, 1), 2)
+        targets = jax.random.randint(jax.random.PRNGKey(3), (B, L), 0, 24)
+        tf_mask = jnp.asarray([1, 0, 1, 1, 0, 1, 0, 1, 1], bool)
+        w = _rand((L, cfg.vocab_size), 9)
+
+        def h_init(p, zz, cc):
+            return (linear(p["z_to_hidden"], zz, cfg.dtype)
+                    + linear(p["condition_to_hidden"], cc, cfg.dtype)) / 2.0
+
+        def loss_cv(p, zz, cc):
+            logits = decoder_train_cv(p, cfg, h_init(p, zz, cc), cc,
+                                      targets, tf_mask)
+            return jnp.sum(logits * w[None])
+
+        def loss_cvp(p, zz, cc):
+            logits = decoder_train_cvp(p, cfg, h_init(p, zz, cc), cc,
+                                       targets, tf_mask, True)
+            return jnp.sum(logits * w[None])
+
+        v1 = loss_cv(params, z, cond)
+        g1 = jax.grad(loss_cv, argnums=(0, 1, 2))(params, z, cond)
+        psl._FORCE_G = G if G > 1 else None
+        try:
+            v2 = loss_cvp(params, z, cond)
+            g2 = jax.grad(loss_cvp, argnums=(0, 1, 2))(params, z, cond)
+        finally:
+            psl._FORCE_G = None
+        np.testing.assert_allclose(float(v2), float(v1), rtol=1e-6)
+        flat2 = {jax.tree_util.keystr(k): v
+                 for k, v in jax.tree_util.tree_leaves_with_path(g2)}
+        for k, a in jax.tree_util.tree_leaves_with_path(g1):
+            b = flat2[jax.tree_util.keystr(k)]
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-4,
+                err_msg=f"grad mismatch at {jax.tree_util.keystr(k)}")
+
+    def test_supported_gate(self):
+        from mlx_vae_tpu.config import ModelConfig
+        from mlx_vae_tpu.ops.decoder_cv import decoder_cvp_supported
+        scaled = ModelConfig(hidden_dim=1024, latent_dim=512, num_layers=4,
+                             embedding_dim=128)
+        assert decoder_cvp_supported(scaled, 2048)
+        assert not decoder_cvp_supported(
+            ModelConfig(hidden_dim=100), 2048)  # unaligned hidden
