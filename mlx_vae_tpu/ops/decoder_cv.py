@@ -284,17 +284,33 @@ def decoder_cvp_supported(cfg, batch: int) -> bool:
     return True
 
 
+def _use_kernel_fwd(cfg, batch: int, interpret: bool) -> bool:
+    from mlx_vae_tpu.ops.pallas_train_decoder import fwd_blk_supported
+    if not cfg.use_pallas:
+        return False
+    if not (interpret or jax.default_backend() == "tpu"):
+        return False
+    return fwd_blk_supported(cfg, batch)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 6))
 def decoder_train_cvp(params: dict, cfg, h_init, conditions, target_seq,
                       tf_mask, interpret: bool = False):
-    """``decoder_train_cv`` with the per-layer Pallas backward."""
-    logits, _ = _cv_fwd(params, cfg, h_init, conditions, target_seq, tf_mask,
-                        store_h=True)
+    """``decoder_train_cv`` with the per-layer Pallas backward (and, when
+    the shape allows, the gate-blocked fused forward kernel)."""
+    logits, _ = _cvp_fwd_rule(params, cfg, h_init, conditions, target_seq,
+                              tf_mask, interpret)
     return logits
 
 
 def _cvp_fwd_rule(params, cfg, h_init, conditions, target_seq, tf_mask,
                   interpret):
+    if _use_kernel_fwd(cfg, target_seq.shape[0], interpret):
+        from mlx_vae_tpu.ops.pallas_train_decoder import decoder_fwd_blk
+        logits, stores = decoder_fwd_blk(
+            params, cfg, h_init.astype(jnp.float32),
+            conditions.astype(jnp.float32), target_seq, tf_mask, interpret)
+        return logits, (params, h_init, conditions, target_seq, stores)
     return _cv_fwd(params, cfg, h_init, conditions, target_seq, tf_mask,
                    store_h=True)
 
@@ -303,11 +319,29 @@ def _cvp_bwd_rule(cfg, interpret, residuals, dlogits):
     from mlx_vae_tpu.ops.pallas_seq_lstm import lstm_seq_bwd_pallas_tm
 
     params, h_init, conditions, target_seq, stores = residuals
-    gates_t, cs_t, hs_t, toks_t = stores
-    L, B = toks_t.shape
     n, H = cfg.num_layers, cfg.hidden_dim
     dtype = cfg.dtype
     cond_f = conditions.astype(jnp.float32)
+
+    stacked = len(stores) == 4 and not isinstance(stores[0], tuple) \
+        and stores[0].ndim == 2  # kernel-fwd: (toks [L,B], hs, cs, gs)
+    if stacked:
+        toks_t, hs_stk, cs_stk, gs_stk = stores
+        L, B = toks_t.shape
+        # [L, n, B, .] -> [L*n, B, .] views; per-layer rows are addressed
+        # inside the kernels via (stride=n, offset=l) index maps — no copies.
+        hs2 = hs_stk.reshape(L * n, B, H)
+        cs2 = cs_stk.reshape(L * n, B, H)
+        gs2 = gs_stk.reshape(L * n, B, 4 * H)
+        res = lambda l: dict(hs_t=hs2, cs_t=cs2, gates_t=gs2,
+                             res_stride=n, res_offset=l)
+        h_top = hs_stk[:, n - 1]  # [L, B, H] (one slice copy, top layer only)
+    else:
+        gates_t, cs_t, hs_t, toks_t = stores
+        L, B = toks_t.shape
+        res = lambda l: dict(hs_t=hs_t[l], cs_t=cs_t[l], gates_t=gates_t[l],
+                             res_stride=1, res_offset=0)
+        h_top = hs_t[n - 1]
 
     ws = _weights(params, cfg, dtype)
     emb_w = params["embedding"]["weight"].astype(dtype)
@@ -318,7 +352,7 @@ def _cvp_bwd_rule(cfg, interpret, residuals, dlogits):
     # fc_out gradients + the top layer's output cotangent as flat matmuls.
     dlog_flat = jnp.swapaxes(dlogits, 0, 1).reshape(L * B, V)
     dlog_c = dlog_flat.astype(dtype)
-    h_top_flat = hs_t[n - 1].reshape(L * B, H).astype(dtype)
+    h_top_flat = h_top.reshape(L * B, H).astype(dtype)
     dwout = jnp.dot(dlog_c.T, h_top_flat, preferred_element_type=jnp.float32)
     dbout = jnp.sum(dlog_flat.astype(jnp.float32), axis=0)
     from_above = jnp.dot(dlog_c, wout, preferred_element_type=jnp.float32)
@@ -338,10 +372,13 @@ def _cvp_bwd_rule(cfg, interpret, residuals, dlogits):
     }
 
     for l in range(n - 1, 0, -1):
-        xs_l = hs_t[l - 1].astype(dtype)  # layer l's input = layer l-1's h
+        if stacked:  # layer l's input = layer l-1's h, inside the stack
+            xs_kw = dict(xs_t=hs2, xs_stride=n, xs_offset=l - 1)
+        else:
+            xs_kw = dict(xs_t=hs_t[l - 1].astype(dtype))
         dxs, dwcat, db, dh0, _ = lstm_seq_bwd_pallas_tm(
-            ws[l], xs_l, h_init_f, c0, hs_t[l], cs_t[l], gates_t[l],
-            dh_stream, zrow, zrow, interpret)
+            ws[l], h0=h_init_f, c0=c0, dhs_t=dh_stream, dhf=zrow, dcf=zrow,
+            interpret=interpret, **res(l), **xs_kw)
         dparams[f"lstm_layer_{l}"] = {"Wx": dwcat[:H].T, "Wh": dwcat[H:].T,
                                       "bias": db}
         dh_init = dh_init + dh0
@@ -363,8 +400,8 @@ def _cvp_bwd_rule(cfg, interpret, residuals, dlogits):
     w0p = jnp.concatenate(
         [w0[:I0], jnp.zeros((I0p - I0, 4 * H), w0.dtype), w0[I0:]], axis=0)
     dxs0, dwcat0, db0, dh0, _ = lstm_seq_bwd_pallas_tm(
-        w0p, xs0, h_init_f, c0, hs_t[0], cs_t[0], gates_t[0],
-        dh_stream, zrow, zrow, interpret)
+        w0p, xs_t=xs0, h0=h_init_f, c0=c0, dhs_t=dh_stream, dhf=zrow,
+        dcf=zrow, interpret=interpret, **res(0))
     dparams["lstm_layer_0"] = {"Wx": dwcat0[:I0].T, "Wh": dwcat0[I0p:].T,
                                "bias": db0}
     dh_init = dh_init + dh0

@@ -394,7 +394,9 @@ def _fwd_rule(params, xs, h0, c0, dtype, interpret):
 
 
 def lstm_seq_bwd_pallas_tm(w, xs_t, h0, c0, hs_t, cs_t, gates_t,
-                           dhs_t, dhf, dcf, interpret: bool = False):
+                           dhs_t, dhf, dcf, interpret: bool = False,
+                           res_stride: int = 1, res_offset: int = 0,
+                           xs_stride: int = 1, xs_offset: int = 0):
     """Time-major fused LSTM-layer backward (reusable building block).
 
     ``w [I+H, 4H]`` compute-dtype combined weight; ``xs_t [L, B, I]``
@@ -403,24 +405,39 @@ def lstm_seq_bwd_pallas_tm(w, xs_t, h0, c0, hs_t, cs_t, gates_t,
     ``dhf/dcf [B, H]`` f32 final-state cotangents. Returns
     ``(dxs_t [L, B, I], dwcat [I+H, 4H], db [4H], dh0, dc0)`` — all f32.
 
+    ``res_stride/res_offset`` (and ``xs_stride/xs_offset`` for ``xs_t``)
+    address one layer inside layer-stacked residual arrays without a copy:
+    row ``t`` of the layer lives at row ``t*stride + offset`` of a
+    ``[L*stride, B, .]`` array (the fused decoder forward emits
+    ``[L, n, B, .]`` streams, reshaped to ``[L*n, B, .]``).
+
     Used by the ``lstm_sequence_pallas`` VJP and by the large-shape decoder
     backward (``ops/decoder_cv.py``): the decoder's token feedback carries no
     gradient, so its backward decomposes into exactly this per-layer kernel.
     """
-    L, B, H = hs_t.shape
+    B, H = h0.shape
+    L = hs_t.shape[0] // res_stride
     I = xs_t.shape[-1]
     BB = _block_rows(H, B)
     grid = (pl.cdiv(B, BB), L)
     G = _gate_blocks(I, H)
 
     def rev(ib, tg):
-        return (L - 1 - tg, ib, 0)
+        return ((L - 1 - tg) * res_stride + res_offset, ib, 0)
 
     def rev_prev(ib, tg):
-        return (jnp.maximum(L - 2 - tg, 0), ib, 0)
+        return (jnp.maximum(L - 2 - tg, 0) * res_stride + res_offset, ib, 0)
+
+    def rev_xs(ib, tg):
+        return ((L - 1 - tg) * xs_stride + xs_offset, ib, 0)
 
     tbr = lambda wdt: pl.BlockSpec((1, BB, wdt), rev, memory_space=pltpu.VMEM)
     tbp = lambda wdt: pl.BlockSpec((1, BB, wdt), rev_prev, memory_space=pltpu.VMEM)
+    tbx = lambda wdt: pl.BlockSpec((1, BB, wdt), rev_xs, memory_space=pltpu.VMEM)
+    # dxs / dhs are always dense [L, B, .] streams (layer-local)
+    tbd = lambda wdt: pl.BlockSpec((1, BB, wdt),
+                                   lambda ib, tg: (L - 1 - tg, ib, 0),
+                                   memory_space=pltpu.VMEM)
     row = lambda wdt: pl.BlockSpec((BB, wdt), lambda ib, tg: (ib, 0),
                                    memory_space=pltpu.VMEM)
     const = lambda shape: pl.BlockSpec(shape, lambda ib, tg: (0,) * len(shape),
@@ -437,14 +454,14 @@ def lstm_seq_bwd_pallas_tm(w, xs_t, h0, c0, hs_t, cs_t, gates_t,
                 tbr(H),      # cs (c_t)
                 tbp(H),      # cs_prev
                 tbp(H),      # hs_prev
-                tbr(I),      # xs
+                tbx(I),      # xs
                 row(H), row(H),              # h0, c0
                 const((I + H, 4 * H)),       # w
-                tbr(H),                      # dhs
+                tbd(H),                      # dhs
                 row(H), row(H),              # dhf, dcf
             ],
             out_specs=(
-                tbr(I),                       # dxs (time-major, reversed writes)
+                tbd(I),                       # dxs (time-major, reversed writes)
                 const((I, 4 * H)),            # dWx^T-layout [I, 4H]
                 const((H, 4 * H)),            # dWh^T-layout [H, 4H]
                 const((1, 4 * H)),            # dbias
@@ -467,11 +484,11 @@ def lstm_seq_bwd_pallas_tm(w, xs_t, h0, c0, hs_t, cs_t, gates_t,
         outs = pl.pallas_call(
             functools.partial(_bwd_kernel_blk, H, I, G),
             grid=grid,
-            in_specs=[tbr(4 * H), tbr(H), tbp(H), tbp(H), tbr(I),
+            in_specs=[tbr(4 * H), tbr(H), tbp(H), tbp(H), tbx(I),
                       row(H), row(H)]
             + [const((I + H, HG)) for _ in range(G)]
-            + [tbr(H), row(H), row(H)],
-            out_specs=(tbr(I),)
+            + [tbd(H), row(H), row(H)],
+            out_specs=(tbd(I),)
             + tuple(const((I, HG)) for _ in range(G))
             + tuple(const((H, HG)) for _ in range(G))
             + (const((1, 4 * H)), row(H), row(H)),

@@ -180,6 +180,173 @@ def _fwd_kernel(n, H, Vp, K0, start_token, with_ce,
     tok_s[:] = jnp.where(tf_ref[t, 0] != 0, target_t, pred)
 
 
+def _fwd_kernel_blk(n, H, Vp, K0, G0, G, start_token, *refs):
+    """Gate-axis-blocked forward for hidden sizes whose weights exceed the
+    single-buffer Mosaic limit (H>=768): per-(layer, gate) weight blocks,
+    same math and residual streams as ``_fwd_kernel`` (no CE variant — at
+    these sizes the vocab projection is a rounding error of the step)."""
+    targets_ref, tf_ref, cond_ref, h0_ref, emb_ref = refs[:5]
+    w0_refs = refs[5:5 + G0]
+    nr = max(n - 1, 0)
+    wr_refs = refs[5 + G0:5 + G0 + nr * G]
+    k = 5 + G0 + nr * G
+    bs_ref, wout_ref, bout_ref = refs[k:k + 3]
+    out0_ref, toks_ref, hs_ref, cs_ref, gs_ref = refs[k + 3:k + 8]
+    h_s, c_s, tok_s = refs[k + 8:]
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_s[:] = jnp.broadcast_to(h0_ref[:][None], h_s.shape)
+        c_s[:] = jnp.zeros_like(c_s)
+        tok_s[:] = jnp.full_like(tok_s, start_token)
+
+    BB = tok_s.shape[0]
+    tok = tok_s[:]
+    trow = t % 8
+    toks_ref[trow] = tok[:, 0]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (BB, Vp), 1)
+    oh = (col == tok).astype(emb_ref.dtype)
+    emb_x = jnp.dot(oh, emb_ref[:], preferred_element_type=jnp.float32)
+    cond = cond_ref[:].astype(jnp.float32)
+    pad = K0 - emb_x.shape[1] - cond.shape[1]
+    x0 = jnp.concatenate([emb_x, cond, jnp.zeros((BB, pad), jnp.float32)],
+                         axis=1)
+
+    x = x0
+    for l in range(n):  # static unroll over layers
+        blocks = w0_refs if l == 0 else wr_refs[(l - 1) * G:l * G]
+        inp = jnp.concatenate([x, h_s[l]], axis=1).astype(blocks[0].dtype)
+        parts = [jnp.dot(inp, b[:], preferred_element_type=jnp.float32)
+                 for b in blocks]
+        gates = jnp.concatenate(parts, axis=1) + bs_ref[l, 0]
+        i_, f_, g_, o_ = _acts(gates, H)
+        c_n = f_ * c_s[l] + i_ * g_
+        h_n = o_ * jnp.tanh(c_n)
+        h_s[l] = h_n
+        c_s[l] = c_n
+        hs_ref[0, l] = h_n.astype(hs_ref.dtype)
+        cs_ref[0, l] = c_n.astype(cs_ref.dtype)
+        gs_ref[0, l] = gates.astype(gs_ref.dtype)
+        x = h_n
+
+    logits = jnp.dot(x.astype(wout_ref.dtype), wout_ref[:],
+                     preferred_element_type=jnp.float32) + bout_ref[0]
+    out0_ref[0] = logits
+
+    target_t = targets_ref[trow][:, None]
+    pred = jnp.argmax(logits, axis=1).astype(jnp.int32)[:, None]
+    tok_s[:] = jnp.where(tf_ref[t, 0] != 0, target_t, pred)
+
+
+def _fwd_blk_gate_blocks(cfg):
+    """(G0, G) gate-block counts for layer 0 / recurrent layers (0 = no
+    blocking fits)."""
+    from mlx_vae_tpu.ops.pallas_seq_lstm import _gate_blocks
+    K0 = _round_up(cfg.embedding_dim + cfg.num_conditions, 128)
+    G0 = _gate_blocks(K0, cfg.hidden_dim)
+    G = _gate_blocks(cfg.hidden_dim, cfg.hidden_dim) \
+        if cfg.num_layers > 1 else 1
+    return G0, G
+
+
+def fwd_blk_supported(cfg, batch: int) -> bool:
+    """Whether the blocked forward compiles for this shape (VMEM estimate:
+    resident weights + streamed blocks + state scratch, leaving ~30MB of the
+    112MB per-kernel limit for Mosaic's unrolled-matmul stack)."""
+    H, E, C, n = (cfg.hidden_dim, cfg.embedding_dim, cfg.num_conditions,
+                  cfg.num_layers)
+    if not (1 <= n <= 8 and H % 128 == 0 and batch % 8 == 0):
+        return False
+    G0, G = _fwd_blk_gate_blocks(cfg)
+    if G0 == 0 or G == 0:
+        return False
+    Vp = _round_up(cfg.vocab_size, 128)
+    K0 = _round_up(E + C, 128)
+    wb = 2 if cfg.compute_dtype == "bfloat16" else 4
+    BB = _block_rows(H, n, batch)
+    weights = ((K0 + H) * 4 * H + max(n - 1, 0) * 2 * H * 4 * H
+               + H * Vp + Vp * E) * wb
+    streams = 2 * (2 * n * BB * H * wb + n * BB * 4 * H * wb + BB * Vp * 4)
+    scratch = 2 * n * BB * H * 4
+    return weights + streams + scratch <= 80 * 1024 * 1024
+
+
+def decoder_fwd_blk(params, cfg, h_init, conditions, target_seq, tf_mask,
+                    interpret: bool = False):
+    """Blocked fused forward -> ``(logits [B, L, V], (toks_t [L, B],
+    hs, cs, gs))`` with layer-stacked ``[L, n, B, .]`` residual streams
+    (consumed by ``ops/decoder_cv.py``'s per-layer Pallas backward)."""
+    B, L = target_seq.shape
+    H, E, C, n = (cfg.hidden_dim, cfg.embedding_dim, cfg.num_conditions,
+                  cfg.num_layers)
+    Vp = _round_up(cfg.vocab_size, 128)
+    K0 = _round_up(E + C, 128)
+    dtype = cfg.dtype
+    G0, G = _fwd_blk_gate_blocks(cfg)
+
+    emb, w0, wr, bs, wout, bout = _prep_weights(params, cfg, Vp, K0, dtype)
+    HG0 = 4 * H // G0
+    HG = 4 * H // G
+    w0_blocks = [w0[:, g * HG0:(g + 1) * HG0] for g in range(G0)]
+    wr_blocks = [wr[l][:, g * HG:(g + 1) * HG]
+                 for l in range(max(n - 1, 0)) for g in range(G)]
+
+    Lp = _round_up(L, 8)
+    targets_t = jnp.zeros((Lp, B), jnp.int32).at[:L].set(
+        jnp.swapaxes(target_seq.astype(jnp.int32), 0, 1))
+    tf_i = tf_mask.astype(jnp.int32).reshape(L, 1)
+    cond_f = conditions.astype(jnp.float32)
+
+    BB = _block_rows(H, n, B)
+    grid = (pl.cdiv(B, BB), L)
+    tb = lambda w_: pl.BlockSpec((1, n, BB, w_), lambda ib, t: (t, 0, ib, 0),
+                                 memory_space=pltpu.VMEM)
+    tb2 = pl.BlockSpec((8, BB), lambda ib, t: (t // 8, ib),
+                       memory_space=pltpu.VMEM)
+    row = lambda w_: pl.BlockSpec((BB, w_), lambda ib, t: (ib, 0),
+                                  memory_space=pltpu.VMEM)
+    const = lambda s: pl.BlockSpec(s, lambda ib, t: (0,) * len(s),
+                                   memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        functools.partial(_fwd_kernel_blk, n, H, Vp, K0, G0, G,
+                          cfg.start_token),
+        grid=grid,
+        in_specs=[
+            tb2,                                    # targets [Lp, B]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # tf flags [L, 1]
+            row(C), row(H),
+            const((Vp, E)),
+        ]
+        + [const((K0 + H, HG0)) for _ in range(G0)]
+        + [const((2 * H, HG)) for _ in range(max(n - 1, 0) * G)]
+        + [const((n, 1, 4 * H)), const((H, Vp)), const((1, Vp))],
+        out_specs=(
+            pl.BlockSpec((1, BB, Vp), lambda ib, t: (t, ib, 0),
+                         memory_space=pltpu.VMEM),
+            tb2, tb(H), tb(H), tb(4 * H)),
+        out_shape=(
+            jax.ShapeDtypeStruct((L, B, Vp), jnp.float32),
+            jax.ShapeDtypeStruct((Lp, B), jnp.int32),      # input tokens
+            jax.ShapeDtypeStruct((L, n, B, H), dtype),     # hs
+            jax.ShapeDtypeStruct((L, n, B, H), dtype),     # cs
+            jax.ShapeDtypeStruct((L, n, B, 4 * H), dtype),  # gates
+        ),
+        scratch_shapes=[pltpu.VMEM((n, BB, H), jnp.float32)] * 2
+        + [pltpu.VMEM((BB, 1), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024),
+        interpret=interpret,
+    )(targets_t, tf_i, cond_f, h_init, emb, *w0_blocks, *wr_blocks,
+      bs, wout, bout)
+
+    logits_t, toks_t, hs, cs, gs = outs
+    logits = jnp.swapaxes(logits_t, 0, 1)[:, :, :cfg.vocab_size]
+    return logits, (toks_t[:L], hs, cs, gs)
+
+
 # ---------------------------------------------------------------- backward
 
 
