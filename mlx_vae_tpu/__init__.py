@@ -21,6 +21,19 @@ checkpoint key contract, ``training_history.json`` schema and the 2x3
 history plot all match the reference.
 """
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    # The axon TPU plugin overrides JAX_PLATFORMS through jax.config at
+    # import time, silently sending "CPU-only" subprocesses (diagnostics,
+    # CLI smoke tests) to the remote TPU where every jitted program costs
+    # 60-120s to compile. Restore the standard env-var semantics: an
+    # explicit JAX_PLATFORMS always wins. Must run before any backend
+    # initializes, hence here at package import.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+
 from mlx_vae_tpu.version import __version__
 from mlx_vae_tpu.config import ModelConfig, TrainConfig
 
