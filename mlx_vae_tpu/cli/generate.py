@@ -158,6 +158,13 @@ def main(argv=None):
         mean = np.zeros((1, mcfg.num_conditions), np.float32)
         std = np.ones((1, mcfg.num_conditions), np.float32)
 
+    if len(args.target) != mcfg.num_conditions:
+        raise SystemExit(
+            f"ERROR: --target has {len(args.target)} value(s) but the "
+            f"checkpoint was trained with num_conditions="
+            f"{mcfg.num_conditions} — pass exactly one target per "
+            f"condition (training order, e.g. tpsa,logp,mw) so each "
+            f"property is conditioned on its own value.")
     target = (np.asarray(args.target, np.float32)[None, :] - mean) / std
 
     key = jax.random.PRNGKey(0)

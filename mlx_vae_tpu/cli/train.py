@@ -261,10 +261,12 @@ def main(argv=None):
     trainer.plot_history(save_path=f"{args.checkpoint_dir}/training_history.png")
 
     if args.eval_test:
-        # Under data parallelism partial batches are dropped (shapes must
+        # Under an actual mesh partial batches are dropped (shapes must
         # divide the mesh), so a too-small split has nothing to evaluate;
-        # otherwise _eval_batches handles partial batches fine.
-        if args.data_parallel and len(test_dataset) < args.batch_size:
+        # otherwise _eval_batches handles partial batches fine. Key on the
+        # mesh, not the flag: --data_parallel on a 1-device host forms no
+        # mesh and evaluates partial batches normally.
+        if trainer.mesh is not None and len(test_dataset) < args.batch_size:
             print(f"\nSkipping --eval_test: test split has "
                   f"{len(test_dataset)} samples < batch_size "
                   f"{args.batch_size} under --data_parallel")

@@ -65,13 +65,11 @@ def complete_vae_loss(
             decoder_train_ce_pallas, pallas_train_decoder_supported)
         if (pallas_train_decoder_supported(cfg, x.shape[0])
                 and _jax.default_backend() == "tpu"):
-            from mlx_vae_tpu.models.layers import linear
+            from mlx_vae_tpu.models.decoder import hidden_init_row
             cond_f = conditions.astype(jnp.float32)
             L = x.shape[1]
             tf_mask = jax.random.uniform(k_tf, (L,)) < teacher_forcing_ratio
-            h_init = (linear(decoder_params["z_to_hidden"], z, cfg.dtype)
-                      + linear(decoder_params["condition_to_hidden"], cond_f,
-                               cfg.dtype)) / 2.0
+            h_init = hidden_init_row(decoder_params, cfg, z, cond_f)
             ce = decoder_train_ce_pallas(decoder_params, cfg, h_init, cond_f,
                                          x.astype(jnp.int32), False, tf_mask)
             recon_loss = jnp.sum(ce) / (x.shape[0] * L)

@@ -52,13 +52,22 @@ def init_decoder_params(key, cfg: ModelConfig) -> dict:
     return params
 
 
+def hidden_init_row(params: dict, cfg: ModelConfig, z: jnp.ndarray,
+                    conditions: jnp.ndarray) -> jnp.ndarray:
+    """The shared per-layer initial h ``[B, H]`` = (z_proj + cond_proj)/2
+    (reference ``decoder.py:92-109``). Single definition — the scan path,
+    both fused-kernel paths, and the loss's monitor reuse it, so the init
+    scheme cannot silently diverge between paths."""
+    hidden_z = linear(params["z_to_hidden"], z, cfg.dtype)
+    hidden_c = linear(params["condition_to_hidden"], conditions, cfg.dtype)
+    return (hidden_z + hidden_c) / 2.0
+
+
 def initialize_hidden_state(params: dict, cfg: ModelConfig, z: jnp.ndarray,
                             conditions: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(h, c) ``[num_layers, B, H]``: h = (z_proj + cond_proj)/2 replicated
     over layers, c = 0 (reference ``decoder.py:76-111``)."""
-    hidden_z = linear(params["z_to_hidden"], z, cfg.dtype)
-    hidden_c = linear(params["condition_to_hidden"], conditions, cfg.dtype)
-    hidden_init = (hidden_z + hidden_c) / 2.0
+    hidden_init = hidden_init_row(params, cfg, z, conditions)
     h = jnp.broadcast_to(hidden_init[None], (cfg.num_layers,) + hidden_init.shape)
     return h, jnp.zeros_like(h)
 
@@ -109,9 +118,7 @@ def decoder_apply(
             from mlx_vae_tpu.ops.pallas_train_decoder import (
                 decoder_train_pallas, pallas_train_decoder_supported)
             if pallas_train_decoder_supported(cfg, B):
-                hidden_z = linear(params["z_to_hidden"], z, cfg.dtype)
-                hidden_c = linear(params["condition_to_hidden"], cond_f, cfg.dtype)
-                h_init = (hidden_z + hidden_c) / 2.0
+                h_init = hidden_init_row(params, cfg, z, cond_f)
                 return decoder_train_pallas(params, cfg, h_init, cond_f,
                                             target_seq.astype(jnp.int32),
                                             False, tf_mask)
@@ -126,9 +133,7 @@ def decoder_apply(
                 and (cfg.custom_vjp or cfg.hidden_dim >= 768)):
             from mlx_vae_tpu.ops.decoder_cv import (
                 decoder_cvp_supported, decoder_train_cv, decoder_train_cvp)
-            hidden_z = linear(params["z_to_hidden"], z, cfg.dtype)
-            hidden_c = linear(params["condition_to_hidden"], cond_f, cfg.dtype)
-            h_init = (hidden_z + hidden_c) / 2.0
+            h_init = hidden_init_row(params, cfg, z, cond_f)
             if (cfg.use_pallas and jax.default_backend() == "tpu"
                     and decoder_cvp_supported(cfg, B)):
                 return decoder_train_cvp(params, cfg, h_init, cond_f,

@@ -80,7 +80,9 @@ def encoder_apply(params: dict, cfg: ModelConfig, x: jnp.ndarray,
         if cfg.use_pallas and jax.default_backend() == "tpu":
             from mlx_vae_tpu.ops.pallas_seq_lstm import (
                 lstm_sequence_pallas, pallas_seq_supported)
-            if pallas_seq_supported(xs.shape[-1], cfg.hidden_dim, xs.shape[0]):
+            wb = 2 if cfg.compute_dtype == "bfloat16" else 4
+            if pallas_seq_supported(xs.shape[-1], cfg.hidden_dim, xs.shape[0],
+                                    wb):
                 return lstm_sequence_pallas(layer_params, xs, h0, c0, dtype)[0]
         # Hoisted-backward custom VJP: loses to remat at small H (residual
         # traffic > recompute) but wins at large H where the fused kernels

@@ -277,9 +277,10 @@ def decoder_cvp_supported(cfg, batch: int) -> bool:
     from mlx_vae_tpu.ops.pallas_seq_lstm import pallas_seq_supported
     H = cfg.hidden_dim
     I0 = _round_up(cfg.embedding_dim + cfg.num_conditions, 128)
-    if not pallas_seq_supported(I0, H, batch):
+    wb = 2 if cfg.compute_dtype == "bfloat16" else 4
+    if not pallas_seq_supported(I0, H, batch, wb):
         return False
-    if cfg.num_layers > 1 and not pallas_seq_supported(H, H, batch):
+    if cfg.num_layers > 1 and not pallas_seq_supported(H, H, batch, wb):
         return False
     return True
 

@@ -44,11 +44,14 @@ def pallas_generate_supported(cfg: ModelConfig, batch: int) -> bool:
     # sampler). H capped at 512: H=1024/n=2 compiles but its greedy output
     # diverges from the scan sampler (bf16 rounding flips argmax feedback),
     # so it stays on the scan path until that is understood.
+    # Weights are held in cfg.dtype; f32 doubles every buffer, so the
+    # stacked-weight cap is expressed in bf16-equivalent units (n*H*wb/2).
+    wb = 2 if cfg.compute_dtype == "bfloat16" else 4
     return (
         1 <= cfg.num_layers <= 8
         and cfg.hidden_dim % 128 == 0
         and cfg.hidden_dim <= 512
-        and cfg.num_layers * cfg.hidden_dim <= 2048
+        and cfg.num_layers * cfg.hidden_dim * wb <= 4096
         and batch % 8 == 0
         and jax.default_backend() in ("tpu",)
     )

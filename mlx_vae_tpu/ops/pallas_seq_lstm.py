@@ -59,21 +59,30 @@ _BLK_COMPILER_PARAMS = pltpu.CompilerParams(
 _FORCE_G = None  # test hook: force a gate-block count at any shape
 
 
-def _gate_blocks(input_size: int, hidden: int) -> int:
-    """Blocks to split the 4H gate axis into (1 = unblocked kernels)."""
+def _gate_blocks(input_size: int, hidden: int, wbytes: int = 2) -> int:
+    """Blocks to split the 4H gate axis into (1 = unblocked kernels).
+
+    ``wbytes`` is the compute-dtype weight size (2 bf16 / 4 f32) — the
+    per-buffer limit is on real bytes, so an f32 weight block is twice the
+    bf16 one at the same shape.
+    """
     if _FORCE_G:
         return _FORCE_G
     I, H = input_size, hidden
-    if _vmem_estimate(I, H, _block_rows(H, 10 ** 9)) <= _VMEM_BUDGET:
+    if _vmem_estimate(I, H, _block_rows(H, 10 ** 9), wbytes) <= _VMEM_BUDGET:
         return 1
     for G in (2, 4, 8):
         cols = 4 * H // G
         if (4 * H) % G or cols % 128:
             continue
-        biggest = max((I + H) * cols * 2, max(I, H) * cols * 4)
+        biggest = max((I + H) * cols * wbytes, max(I, H) * cols * 4)
         if biggest <= _MAX_BUF:
             return G
     return 0
+
+
+def _dtype_wbytes(dtype) -> int:
+    return 2 if jnp.dtype(dtype) == jnp.bfloat16 else 4
 
 
 def _vmem_estimate(input_size: int, hidden: int, BB: int,
@@ -89,15 +98,16 @@ def _vmem_estimate(input_size: int, hidden: int, BB: int,
     return weights + dW + streams + scratch
 
 
-def pallas_seq_supported(input_size: int, hidden: int, batch: int) -> bool:
+def pallas_seq_supported(input_size: int, hidden: int, batch: int,
+                         wbytes: int = 2) -> bool:
     if not (input_size % 128 == 0 and hidden % 128 == 0 and batch % 8 == 0):
         return False
     BB = _block_rows(hidden, batch)
-    G = _gate_blocks(input_size, hidden)
+    G = _gate_blocks(input_size, hidden, wbytes)
     if G == 0:
         return False
     budget = _VMEM_BUDGET if G == 1 else _VMEM_BUDGET_BLK
-    return _vmem_estimate(input_size, hidden, BB) <= budget
+    return _vmem_estimate(input_size, hidden, BB, wbytes) <= budget
 
 
 # ----------------------------------------------------------------- forward
@@ -345,7 +355,7 @@ def _fwd(params, xs, h0, c0, dtype, interpret):
     const = lambda shape: pl.BlockSpec(shape, lambda ib, t: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
 
-    G = _gate_blocks(I, H)
+    G = _gate_blocks(I, H, _dtype_wbytes(dtype))
     store_dtype = dtype
     out_specs = (tb(H), tb(H), tb(4 * H), row(H), row(H))
     out_shape = (
@@ -420,7 +430,7 @@ def lstm_seq_bwd_pallas_tm(w, xs_t, h0, c0, hs_t, cs_t, gates_t,
     I = xs_t.shape[-1]
     BB = _block_rows(H, B)
     grid = (pl.cdiv(B, BB), L)
-    G = _gate_blocks(I, H)
+    G = _gate_blocks(I, H, _dtype_wbytes(w.dtype))
 
     def rev(ib, tg):
         return ((L - 1 - tg) * res_stride + res_offset, ib, 0)

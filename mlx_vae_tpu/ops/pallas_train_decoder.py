@@ -245,8 +245,9 @@ def _fwd_blk_gate_blocks(cfg):
     blocking fits)."""
     from mlx_vae_tpu.ops.pallas_seq_lstm import _gate_blocks
     K0 = _round_up(cfg.embedding_dim + cfg.num_conditions, 128)
-    G0 = _gate_blocks(K0, cfg.hidden_dim)
-    G = _gate_blocks(cfg.hidden_dim, cfg.hidden_dim) \
+    wb = 2 if cfg.compute_dtype == "bfloat16" else 4
+    G0 = _gate_blocks(K0, cfg.hidden_dim, wb)
+    G = _gate_blocks(cfg.hidden_dim, cfg.hidden_dim, wb) \
         if cfg.num_layers > 1 else 1
     return G0, G
 

@@ -20,7 +20,11 @@ from mlx_vae_tpu.models import ARCVAE
 from mlx_vae_tpu.train.optim import adam_init
 from mlx_vae_tpu.train.steps import train_step
 
-from tests.reference_oracle import oracle_train_step
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+from reference_oracle import oracle_train_step
 
 SCALARS = ("total_loss", "recon_loss", "kl_loss", "weighted_kl",
            "collapse_penalty", "prop_loss", "weighted_prop_loss",

@@ -589,6 +589,20 @@ class TestGateBlockedSeqLSTM:
         assert _gate_blocks(128, 128) == 1  # small shapes keep proven kernels
         assert not pallas_seq_supported(100, 1024, 2048)  # unaligned input
 
+    def test_gate_is_dtype_aware(self):
+        """f32 weights double every buffer: the H=1024 shapes that fit the
+        VMEM budgets in bf16 must NOT pass the gate at wbytes=4 (they'd hit
+        the documented Mosaic compile failure instead of the scan
+        fallback), while proven small/mid shapes stay supported."""
+        from mlx_vae_tpu.ops.pallas_seq_lstm import (_gate_blocks,
+                                                     pallas_seq_supported)
+        assert not pallas_seq_supported(1024, 1024, 2048, wbytes=4)
+        assert pallas_seq_supported(512, 512, 1024, wbytes=4)
+        assert pallas_seq_supported(128, 256, 1024, wbytes=4)
+        # blocking accounts for the fatter f32 weight blocks
+        assert _gate_blocks(1024, 1024, wbytes=4) >= \
+            _gate_blocks(1024, 1024, wbytes=2)
+
 
 class TestDecoderPallasBackward:
     """decoder_train_cvp: the per-layer Pallas backward (fed either by the
@@ -655,7 +669,12 @@ class TestDecoderPallasBackward:
         from mlx_vae_tpu.config import ModelConfig
         from mlx_vae_tpu.ops.decoder_cv import decoder_cvp_supported
         scaled = ModelConfig(hidden_dim=1024, latent_dim=512, num_layers=4,
-                             embedding_dim=128)
+                             embedding_dim=128, compute_dtype="bfloat16")
         assert decoder_cvp_supported(scaled, 2048)
+        # f32 doubles every buffer: the same shape must fall back to scan
+        # (the gate is dtype-aware; f32 H=1024 fails Mosaic compilation).
+        assert not decoder_cvp_supported(
+            ModelConfig(hidden_dim=1024, latent_dim=512, num_layers=4,
+                        embedding_dim=128), 2048)
         assert not decoder_cvp_supported(
             ModelConfig(hidden_dim=100), 2048)  # unaligned hidden
