@@ -68,7 +68,8 @@ def main():
     train_ds, _, _, _ = load_and_split(args.data)
     mean, std = train_ds.properties_mean, train_ds.properties_std
 
-    fused = pallas_generate_supported(mcfg, args.batch_size)
+    fused = pallas_generate_supported(mcfg, args.batch_size,
+                                      greedy=False)
     results = []
     for target in args.targets:
         cond = jnp.full((args.batch_size, 1),

@@ -53,13 +53,15 @@ def first_token_distribution(params, cfg, z_row, cond_row, temperature):
     return jax.nn.softmax(logits / temperature)
 
 
-def run(n_samples: int = 65536, seed: int = 0) -> dict:
+def run(n_samples: int = 65536, seed: int = 0, hidden_dim: int = 128,
+        latent_dim: int = 8, compute_dtype: str = "float32") -> dict:
     from mlx_vae_tpu.config import ModelConfig
     from mlx_vae_tpu.models import init_decoder_params
     from mlx_vae_tpu.ops.pallas_decoder import pallas_generate
 
-    cfg = ModelConfig(vocab_size=24, embedding_dim=16, hidden_dim=128,
-                      latent_dim=8, num_conditions=1, num_layers=2)
+    cfg = ModelConfig(vocab_size=24, embedding_dim=16, hidden_dim=hidden_dim,
+                      latent_dim=latent_dim, num_conditions=1, num_layers=2,
+                      compute_dtype=compute_dtype)
     params = init_decoder_params(jax.random.PRNGKey(seed), cfg)
     # Sharpen the output head: with random init the softmax is near-uniform
     # (entropy ~ log V), which a buggy uniform sampler would also pass. A 6x
@@ -114,12 +116,19 @@ def main():
     if jax.default_backend() != "tpu":
         print("requires a TPU backend (Mosaic PRNG has no CPU lowering)")
         return 2
+    # Default shape (H=128, f32) plus the large stochastic-only shape the
+    # gate enables past greedy bit-parity (H=1024 bf16 — see
+    # pallas_generate_supported): both distributions must pass.
     results = run()
+    big = run(hidden_dim=1024, latent_dim=512, compute_dtype="bfloat16")
+    results["H1024_bf16"] = big
     out = Path(__file__).parent / "sampling_stats.json"
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
     print(f"wrote {out}")
-    return 0 if (results["chi2_pass"] and results["entropy_monotone"]) else 1
+    ok = (results["chi2_pass"] and results["entropy_monotone"]
+          and big["chi2_pass"] and big["entropy_monotone"])
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":

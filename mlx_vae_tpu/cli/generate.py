@@ -185,7 +185,8 @@ def main(argv=None):
 
     from mlx_vae_tpu.ops.pallas_decoder import pallas_generate_supported
     local_batch = args.batch_size // (mesh.shape["data"] if mesh else 1)
-    use_fused = pallas_generate_supported(mcfg, local_batch)
+    use_fused = pallas_generate_supported(mcfg, local_batch,
+                                          greedy=args.greedy)
     if use_fused:
         print("Using fused Pallas generation kernel")
 

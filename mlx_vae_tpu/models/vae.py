@@ -53,7 +53,7 @@ def vae_generate(params: dict, cfg: ModelConfig, conditions, key,
     if cfg.use_pallas:
         from mlx_vae_tpu.ops.pallas_decoder import (
             pallas_generate, pallas_generate_supported)
-        if pallas_generate_supported(cfg, B):
+        if pallas_generate_supported(cfg, B, greedy=greedy):
             return pallas_generate(params["decoder"], cfg, z, conditions,
                                    k_gen, max_length=max_length,
                                    temperature=temperature, greedy=greedy)
