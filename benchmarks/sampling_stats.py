@@ -54,13 +54,14 @@ def first_token_distribution(params, cfg, z_row, cond_row, temperature):
 
 
 def run(n_samples: int = 65536, seed: int = 0, hidden_dim: int = 128,
-        latent_dim: int = 8, compute_dtype: str = "float32") -> dict:
+        latent_dim: int = 8, num_layers: int = 2,
+        compute_dtype: str = "float32") -> dict:
     from mlx_vae_tpu.config import ModelConfig
     from mlx_vae_tpu.models import init_decoder_params
     from mlx_vae_tpu.ops.pallas_decoder import pallas_generate
 
     cfg = ModelConfig(vocab_size=24, embedding_dim=16, hidden_dim=hidden_dim,
-                      latent_dim=latent_dim, num_conditions=1, num_layers=2,
+                      latent_dim=latent_dim, num_conditions=1, num_layers=num_layers,
                       compute_dtype=compute_dtype)
     params = init_decoder_params(jax.random.PRNGKey(seed), cfg)
     # Sharpen the output head: with random init the softmax is near-uniform
@@ -116,12 +117,13 @@ def main():
     if jax.default_backend() != "tpu":
         print("requires a TPU backend (Mosaic PRNG has no CPU lowering)")
         return 2
-    # Default shape (H=128, f32) plus the large stochastic-only shape the
-    # gate enables past greedy bit-parity (H=1024 bf16 — see
+    # Default shape (H=128, f32) plus the scaled-config shape the gate
+    # enables for stochastic sampling only (H=1024/4 layers bf16 — see
     # pallas_generate_supported): both distributions must pass.
     results = run()
-    big = run(hidden_dim=1024, latent_dim=512, compute_dtype="bfloat16")
-    results["H1024_bf16"] = big
+    big = run(hidden_dim=1024, latent_dim=512, num_layers=4,
+              compute_dtype="bfloat16")
+    results["H1024_4L_bf16"] = big
     out = Path(__file__).parent / "sampling_stats.json"
     with open(out, "w") as f:
         json.dump(results, f, indent=2)

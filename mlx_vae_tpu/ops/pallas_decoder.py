@@ -38,33 +38,46 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _gen_resident_bytes(cfg) -> int:
+    """Bytes of the kernel's VMEM-resident weight set (all layers' stacked
+    Wx/Wh, embedding, output head) — the quantity that decides both the
+    support gate and whether the Mosaic vmem limit must be raised."""
+    H, E, C, n = (cfg.hidden_dim, cfg.embedding_dim, cfg.num_conditions,
+                  cfg.num_layers)
+    Vp = _round_up(cfg.vocab_size, 128)
+    K0 = _round_up(E + C, 128)
+    wb = 2 if cfg.compute_dtype == "bfloat16" else 4
+    return ((K0 + (2 * n - 1) * H) * 4 * H + H * Vp + Vp * E) * wb
+
+
 def pallas_generate_supported(cfg: ModelConfig, batch: int,
                               greedy: bool = True) -> bool:
-    # n_layers * H * wb <= 4096 keeps the stacked per-layer weights in VMEM
-    # (weights are held in cfg.dtype, so the cap is in bf16-equivalent
-    # units; H=512/n=4 bf16 measured: compiles, exact greedy parity, ~70x
-    # the scan sampler; H=1024/n=4 bf16 fails Mosaic compilation).
+    # Greedy stays capped at H <= 512 (n*H*wb <= 4096): H=1024 compiles,
+    # but the kernel and the scan sampler sum their 1024-element dot
+    # products in different orders, the ~1-ulp logit differences flip
+    # argmax on near-ties, and the feedback loop amplifies one flipped
+    # token into a different trajectory — so greedy bit-parity (the tested
+    # contract) only holds on the proven shapes.
     #
-    # Greedy stays capped at H <= 512: H=1024/n=2 compiles, but the kernel
-    # and the scan sampler sum their 1024-element dot products in different
-    # orders, the ~1-ulp logit differences flip argmax on near-ties, and
-    # the feedback loop amplifies one flipped token into a different
-    # trajectory — so greedy bit-parity (the tested contract) only holds on
-    # the proven shapes. Stochastic sampling adds O(1) Gumbel noise that
-    # swamps ulp-level ties, so it runs the kernel up to the VMEM cap
-    # (H=1024/n=2: measured 53x the scan sampler; distribution validated by
-    # benchmarks/sampling_stats.py).
+    # Stochastic sampling adds O(1) Gumbel noise that swamps ulp-level
+    # ties, so it runs the kernel up to the measured VMEM ceiling
+    # (resident weights <= 80MB, vmem limit raised when needed): measured
+    # v5e, B=4096 — H=1024/2L 53x and H=1024/4L (the scaled config) 27x
+    # the scan sampler; distributions validated by
+    # benchmarks/sampling_stats.py.
     wb = 2 if cfg.compute_dtype == "bfloat16" else 4
-    if greedy and cfg.hidden_dim > 512:
-        return False
-    return (
+    if not (
         1 <= cfg.num_layers <= 8
         and cfg.hidden_dim % 128 == 0
-        and cfg.hidden_dim <= 1024
-        and cfg.num_layers * cfg.hidden_dim * wb <= 4096
         and batch % 8 == 0
         and jax.default_backend() in ("tpu",)
-    )
+    ):
+        return False
+    if greedy:
+        return (cfg.hidden_dim <= 512
+                and cfg.num_layers * cfg.hidden_dim * wb <= 4096)
+    return (cfg.hidden_dim <= 1024
+            and _gen_resident_bytes(cfg) <= 80 * 1024 * 1024)
 
 
 def _kernel(cfg, Vp, K0, L, use_gumbel,
@@ -206,25 +219,36 @@ def pallas_generate(params: dict, cfg: ModelConfig, z, conditions, key,
                             memory_space=pltpu.VMEM)
 
     kernel = functools.partial(_kernel, cfg, Vp, K0, max_length, not greedy)
+    in_specs = [
+        row_spec(C),                   # cond
+        row_spec(H),                   # h0
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
+        pl.BlockSpec((1, 1), lambda ib: (0, 0),
+                     memory_space=pltpu.SMEM),  # temperature
+        const_spec((Vp, E)),
+        const_spec((K0, 4 * H)),
+        const_spec((n, H, 4 * H)),
+        const_spec((max(n - 1, 1), H, 4 * H)),
+        const_spec((n, 1, 4 * H)),
+        const_spec((H, Vp)), const_spec((1, Vp)),
+    ]
+    # Raise the Mosaic vmem limit only for large resident sets (H=1024/4L:
+    # ~61MB, compiles in ~25s and runs 27x the scan sampler). Shapes that
+    # fit the default limit keep it: the raised limit sends the compiler
+    # down a pathologically slow path for mid-size shapes (H=1024/2L
+    # measured ~600s to compile with the limit vs ~28s without).
+    params_kw = {}
+    if _gen_resident_bytes(cfg) > 48 * 1024 * 1024:
+        params_kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024)
     tokens = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            row_spec(C),                   # cond
-            row_spec(H),                   # h0
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
-            pl.BlockSpec((1, 1), lambda ib: (0, 0),
-                         memory_space=pltpu.SMEM),  # temperature
-            const_spec((Vp, E)),
-            const_spec((K0, 4 * H)),
-            const_spec((n, H, 4 * H)),
-            const_spec((max(n - 1, 1), H, 4 * H)),
-            const_spec((n, 1, 4 * H)),
-            const_spec((H, Vp)), const_spec((1, Vp)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((BB, max_length), lambda ib: (ib, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, max_length), jnp.int32),
         interpret=interpret,
+        **params_kw,
     )(cond_f, h0, seed, temp, emb, wx0, whs, wxr, bs, wout, bout)
     return tokens
