@@ -40,6 +40,12 @@ def _acts(gates, H):
     return i, f, g, o
 
 
+def _split_acts(acts, H):
+    """Slice stored ACTIVATED gates ``[i, f, g, o]`` (residual contract)."""
+    return (acts[..., :H], acts[..., H:2 * H], acts[..., 2 * H:3 * H],
+            acts[..., 3 * H:])
+
+
 def _weights(params, cfg, dtype):
     """Per-layer combined [in + H, 4H] weights (layer 0: in = E + C)."""
     ws = []
@@ -98,7 +104,9 @@ def _cv_fwd(params, cfg, h_init, conditions, target_seq, tf_mask,
             h_n = o_ * jnp.tanh(c_n)
             new_h.append(h_n)
             new_c.append(c_n)
-            gates_all.append(gates.astype(dtype))
+            # residual contract: ACTIVATED gates [i, f, g, o]
+            gates_all.append(
+                jnp.concatenate([i_, f_, g_, o_], axis=1).astype(dtype))
             x = h_n
         h = jnp.stack(new_h)
         c = jnp.stack(new_c)
@@ -153,9 +161,10 @@ def _cv_bwd_rule(cfg, residuals, dlogits):
                 jnp.zeros((V, E), jnp.float32),   # demb
                 jnp.zeros((B, C), jnp.float32))   # dcond
 
-    def h_of(gates_row, cs_row):
-        """Recompute h_t = o * tanh(c_t) from one layer's stored residuals."""
-        o = jax.nn.sigmoid(gates_row[:, 3 * H:].astype(jnp.float32))
+    def h_of(acts_row, cs_row):
+        """Recompute h_t = o * tanh(c_t) from one layer's stored residuals
+        (the gates residuals are ACTIVATED, so o is a slice)."""
+        o = acts_row[:, 3 * H:].astype(jnp.float32)
         return o * jnp.tanh(cs_row.astype(jnp.float32))
 
     def bstep(carry, xs):
@@ -181,8 +190,8 @@ def _cv_bwd_rule(cfg, residuals, dlogits):
 
         new_dh, new_dc = [None] * n, [None] * n
         for l in range(n - 1, -1, -1):
-            g_all = gates_rows[l].astype(jnp.float32)
-            i_, f_, g_, o_ = _acts(g_all, H)
+            a_all = gates_rows[l].astype(jnp.float32)
+            i_, f_, g_, o_ = _split_acts(a_all, H)
             c_prev = jnp.where(is_first, 0.0,
                                cp_rows[l].astype(jnp.float32))
             h_prev = jnp.where(is_first, h_init_f,

@@ -38,6 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 from mlx_vae_tpu.ops.pallas_train_decoder import (
     _VMEM_BUDGET,
     _acts,
+    _split_acts,
     _block_rows,
     _round_up,
 )
@@ -103,7 +104,8 @@ def _fwd_kernel(n, H, Vp, K0,
         c_s[l] = c_n
         hs_ref[0, l] = h_n.astype(hs_ref.dtype)
         cs_ref[0, l] = c_n.astype(cs_ref.dtype)
-        gs_ref[0, l] = gates.astype(gs_ref.dtype)
+        gs_ref[0, l] = jnp.concatenate([i_, f_, g_, o_], axis=1).astype(
+            gs_ref.dtype)  # ACTIVATED gates (residual contract)
         x = h_n
 
     @pl.when(t == L - 1)
@@ -146,8 +148,8 @@ def _bwd_kernel(n, H, Vp, E, K0,
 
     from_above = jnp.zeros((BB, H), jnp.float32)
     for l in range(n - 1, -1, -1):
-        g_all = gs_ref[0, l].astype(jnp.float32)
-        i_, f_, g_, o_ = _acts(g_all, H)
+        a_all = gs_ref[0, l].astype(jnp.float32)
+        i_, f_, g_, o_ = _split_acts(a_all, H)
         c_prev = jnp.where(first, 0.0, csp_ref[0, l].astype(jnp.float32))
         h_prev = jnp.where(first, 0.0, hsp_ref[0, l].astype(jnp.float32))
         tc = jnp.tanh(cs_ref[0, l].astype(jnp.float32))

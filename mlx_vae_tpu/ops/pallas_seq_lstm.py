@@ -137,7 +137,10 @@ def _fwd_kernel(H, xs_ref, h0_ref, c0_ref, w_ref, b_ref,
     c_scr[:] = c_new
     hs_ref[0] = h_new.astype(hs_ref.dtype)
     cs_ref[0] = c_new.astype(cs_ref.dtype)
-    gates_ref[0] = gates.astype(gates_ref.dtype)
+    # residual contract: ACTIVATED gates [i, f, g, o] — the backward slices
+    # them instead of re-running 3 sigmoids + a tanh over [BB, 4H]
+    gates_ref[0] = jnp.concatenate([i, f, g, o], axis=1).astype(
+        gates_ref.dtype)
 
     @pl.when(t == L - 1)
     def _():
@@ -175,7 +178,10 @@ def _fwd_kernel_blk(H, G, *refs):
     c_scr[:] = c_new
     hs_ref[0] = h_new.astype(hs_ref.dtype)
     cs_ref[0] = c_new.astype(cs_ref.dtype)
-    gates_ref[0] = gates.astype(gates_ref.dtype)
+    # residual contract: ACTIVATED gates [i, f, g, o] — the backward slices
+    # them instead of re-running 3 sigmoids + a tanh over [BB, 4H]
+    gates_ref[0] = jnp.concatenate([i, f, g, o], axis=1).astype(
+        gates_ref.dtype)
 
     @pl.when(t == L - 1)
     def _():
@@ -206,11 +212,11 @@ def _bwd_kernel(H, I, gates_ref, cs_ref, csp_ref, hsp_ref, xs_ref,
         dh_scr[:] = dhf_ref[:]
         dc_scr[:] = dcf_ref[:]
 
-    g_all = gates_ref[0].astype(jnp.float32)
-    i = jax.nn.sigmoid(g_all[:, :H])
-    f = jax.nn.sigmoid(g_all[:, H:2 * H])
-    g = jnp.tanh(g_all[:, 2 * H:3 * H])
-    o = jax.nn.sigmoid(g_all[:, 3 * H:])
+    a_all = gates_ref[0].astype(jnp.float32)  # ACTIVATED [i, f, g, o]
+    i = a_all[:, :H]
+    f = a_all[:, H:2 * H]
+    g = a_all[:, 2 * H:3 * H]
+    o = a_all[:, 3 * H:]
     first = (t == 0)
     c_prev = jnp.where(first, c0_ref[:], csp_ref[0].astype(jnp.float32))
     h_prev = jnp.where(first, h0_ref[:], hsp_ref[0].astype(jnp.float32))
@@ -278,11 +284,11 @@ def _bwd_kernel_blk(H, I, G, *refs):
         dh_scr[:] = dhf_ref[:]
         dc_scr[:] = dcf_ref[:]
 
-    g_all = gates_ref[0].astype(jnp.float32)
-    i = jax.nn.sigmoid(g_all[:, :H])
-    f = jax.nn.sigmoid(g_all[:, H:2 * H])
-    g = jnp.tanh(g_all[:, 2 * H:3 * H])
-    o = jax.nn.sigmoid(g_all[:, 3 * H:])
+    a_all = gates_ref[0].astype(jnp.float32)  # ACTIVATED [i, f, g, o]
+    i = a_all[:, :H]
+    f = a_all[:, H:2 * H]
+    g = a_all[:, 2 * H:3 * H]
+    o = a_all[:, 3 * H:]
     first = (t == 0)
     c_prev = jnp.where(first, c0_ref[:], csp_ref[0].astype(jnp.float32))
     h_prev = jnp.where(first, h0_ref[:], hsp_ref[0].astype(jnp.float32))
@@ -411,7 +417,9 @@ def lstm_seq_bwd_pallas_tm(w, xs_t, h0, c0, hs_t, cs_t, gates_t,
 
     ``w [I+H, 4H]`` compute-dtype combined weight; ``xs_t [L, B, I]``
     compute-dtype inputs; ``hs_t/cs_t/gates_t`` the forward's time-major
-    residuals; ``dhs_t [L, B, H]`` f32 per-step output cotangents;
+    residuals — ``gates_t`` holds ACTIVATED gates ``[i, f, g, o]`` (the
+    kernel slices them; it does not re-run the nonlinearities);
+    ``dhs_t [L, B, H]`` f32 per-step output cotangents;
     ``dhf/dcf [B, H]`` f32 final-state cotangents. Returns
     ``(dxs_t [L, B, I], dwcat [I+H, 4H], db [4H], dh0, dc0)`` — all f32.
 

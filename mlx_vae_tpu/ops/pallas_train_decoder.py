@@ -111,6 +111,13 @@ def _acts(gates, H):
     return i, f, g, o
 
 
+def _split_acts(acts, H):
+    """Slice stored ACTIVATED gates ``[i, f, g, o]`` (the residual-stream
+    contract: forwards store post-nonlinearity gates so backwards never
+    re-run 3 sigmoids + a tanh over the 4H axis)."""
+    return acts[:, :H], acts[:, H:2 * H], acts[:, 2 * H:3 * H], acts[:, 3 * H:]
+
+
 # ----------------------------------------------------------------- forward
 
 
@@ -158,7 +165,8 @@ def _fwd_kernel(n, H, Vp, K0, start_token, with_ce,
         c_s[l] = c_n
         hs_ref[0, l] = h_n.astype(hs_ref.dtype)
         cs_ref[0, l] = c_n.astype(cs_ref.dtype)
-        gs_ref[0, l] = gates.astype(gs_ref.dtype)
+        gs_ref[0, l] = jnp.concatenate([i_, f_, g_, o_], axis=1).astype(
+            gs_ref.dtype)  # ACTIVATED gates (residual contract)
         x = h_n
 
     logits = jnp.dot(x.astype(wout_ref.dtype), wout_ref[:],
@@ -228,7 +236,8 @@ def _fwd_kernel_blk(n, H, Vp, K0, G0, G, start_token, *refs):
         c_s[l] = c_n
         hs_ref[0, l] = h_n.astype(hs_ref.dtype)
         cs_ref[0, l] = c_n.astype(cs_ref.dtype)
-        gs_ref[0, l] = gates.astype(gs_ref.dtype)
+        gs_ref[0, l] = jnp.concatenate([i_, f_, g_, o_], axis=1).astype(
+            gs_ref.dtype)  # ACTIVATED gates (residual contract)
         x = h_n
 
     logits = jnp.dot(x.astype(wout_ref.dtype), wout_ref[:],
@@ -410,8 +419,8 @@ def _bwd_kernel(n, H, Vp, E, C, K0, with_ce,
 
     # ---- LSTM stack, top layer down (static unroll) ----
     for l in range(n - 1, -1, -1):
-        g_all = gs_ref[0, l].astype(jnp.float32)
-        i_, f_, g_, o_ = _acts(g_all, H)
+        a_all = gs_ref[0, l].astype(jnp.float32)
+        i_, f_, g_, o_ = _split_acts(a_all, H)
         c_prev = jnp.where(first, 0.0, csp_ref[0, l].astype(jnp.float32))
         h_prev = jnp.where(first, h0_ref[:], hsp_ref[0, l].astype(jnp.float32))
         tc = jnp.tanh(cs_ref[0, l].astype(jnp.float32))
