@@ -215,6 +215,25 @@ class TestStepsPerDispatch:
         m = trainer.train_epoch(0, 1, val_dataset=val_ds)
         assert np.isfinite(m["train_loss"]) and np.isfinite(m["val_loss"])
 
+    def test_device_feed_matches_host_feed(self, tiny_setup):
+        """The device-resident index feed must be numerically IDENTICAL to
+        host batching: same shuffle-RNG consumption -> same batch
+        composition, and the on-device gather + uint8 widen change no
+        values. Bit-equal train losses over 2 epochs."""
+        tmp, train_ds, val_ds, mcfg = tiny_setup
+        results = {}
+        for host in (False, True):
+            tcfg = TrainConfig(epochs=2, batch_size=32, learning_rate=3e-3,
+                               checkpoint_dir=str(tmp / f"ck_hd{int(host)}"),
+                               true_loss_batches=3, host_data=host)
+            vae = ARCVAE(mcfg, jax.random.PRNGKey(11))
+            trainer = ARCVAETrainer(vae.params, mcfg, tcfg, train_ds)
+            assert trainer._device_data is (not host)
+            ms = [trainer.train_epoch(e, 2, val_dataset=val_ds)
+                  for e in range(2)]
+            results[host] = [(m["train_loss"], m["val_loss"]) for m in ms]
+        assert results[False] == results[True]
+
     def test_k1_and_k4_train_similarly(self, tiny_setup):
         tmp, train_ds, _, mcfg = tiny_setup
         losses = {}
