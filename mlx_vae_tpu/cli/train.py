@@ -76,6 +76,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Shard the batch over all visible devices")
     parser.add_argument("--steps_per_dispatch", type=int, default=1,
                         help="Fuse K optimizer steps into one dispatched program")
+    parser.add_argument("--host_data", action="store_true",
+                        help="Feed batches from host instead of keeping the "
+                        "corpus device-resident (for corpora too large "
+                        "for HBM)")
     parser.add_argument("--compute_dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"], help="Matmul compute dtype")
     parser.add_argument("--use_pallas", action="store_true",
@@ -204,6 +208,7 @@ def main(argv=None):
         checkpoint_freq=args.checkpoint_freq,
         data_parallel=args.data_parallel,
         steps_per_dispatch=args.steps_per_dispatch,
+        host_data=args.host_data,
     )
 
     print("\nCreating VAE model...")

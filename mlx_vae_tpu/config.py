@@ -140,6 +140,12 @@ class TrainConfig:
     # stacked batches). Amortizes per-dispatch overhead (~2.5ms measured on
     # the tunneled v5e); metrics come back stacked [K].
     steps_per_dispatch: int = 1
+    # Opt out of the device-resident corpus feed (single-device default):
+    # normally the tokenized dataset is uploaded to HBM once and batches are
+    # fed as [B] index arrays (the gather runs inside the jitted step) —
+    # shipping tokens per batch through a tunneled host<->device link costs
+    # more than training on them. Set for corpora too large for HBM.
+    host_data: bool = False
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)

@@ -103,3 +103,24 @@ class MoleculeDataset:
                 np.ascontiguousarray(self.molecules[batch_idx]),
                 np.ascontiguousarray(self.properties_normalized[batch_idx]),
             )
+
+    def to_index_batches(
+        self,
+        batch_size: int,
+        shuffle: bool = True,
+        rng: Optional[np.random.Generator] = None,
+        drop_last: bool = False,
+    ) -> Iterator[np.ndarray]:
+        """Yield the ``[B] int32`` index arrays behind ``to_batches`` —
+        identical RNG consumption and batch composition, but the data stays
+        wherever it lives (used by the device-resident feed: the trainer
+        ships 16KB of indices per batch instead of megabytes of tokens
+        through the host<->device link)."""
+        n = len(self)
+        indices = np.arange(n)
+        if shuffle:
+            (rng or np.random).shuffle(indices)
+        end = (n // batch_size) * batch_size if drop_last else n
+        for i in range(0, end, batch_size):
+            yield np.ascontiguousarray(indices[i : i + batch_size],
+                                       dtype=np.int32)

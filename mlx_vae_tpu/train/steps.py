@@ -154,6 +154,61 @@ def eval_step(params: dict, mcfg: ModelConfig, tcfg: TrainConfig,
     return _scalar_metrics(d)
 
 
+# --------------------------------------------------- device-resident feeds
+#
+# The tokenized corpus easily fits HBM (1M molecules x 64 tokens = 64MB in
+# uint8), while the host<->device link on tunneled backends moves ~35MB/s —
+# a K=8 batch-4096 chunk costs more to SHIP (241ms measured) than to TRAIN
+# (164ms). These variants keep the whole corpus device-resident and take
+# per-step INDEX arrays instead (16KB/batch): the gather + uint8->int32
+# widen run on device inside the jitted program. Batch composition is
+# identical to the host path (the trainer shuffles the same numpy index
+# permutation either way).
+
+
+@functools.partial(jax.jit, static_argnames=("mcfg", "tcfg"),
+                   donate_argnames=("params", "opt_states"))
+def train_step_gather(params: dict, opt_states: dict, mcfg: ModelConfig,
+                      tcfg: TrainConfig, tokens_all, props_all, idx,
+                      key, beta, tf_ratio):
+    """``train_step`` fed by a device-resident corpus: ``tokens_all [N, L]``
+    (uint8 or int32), ``props_all [N, C]`` f32, ``idx [B]`` int32."""
+    x = tokens_all[idx].astype(jnp.int32)
+    c = props_all[idx]
+    return _train_body(params, opt_states, mcfg, tcfg, x, c, key, beta,
+                       tf_ratio)
+
+
+@functools.partial(jax.jit, static_argnames=("mcfg", "tcfg"),
+                   donate_argnames=("params", "opt_states"))
+def multi_train_step_gather(params: dict, opt_states: dict,
+                            mcfg: ModelConfig, tcfg: TrainConfig,
+                            tokens_all, props_all, idx, key, beta, tf_ratio):
+    """``multi_train_step`` over a device-resident corpus; ``idx [K, B]``."""
+
+    def body(carry, idx_k):
+        params, opt_states, key = carry
+        key, k = jax.random.split(key)
+        x = tokens_all[idx_k].astype(jnp.int32)
+        c = props_all[idx_k]
+        params, opt_states, metrics = _train_body(
+            params, opt_states, mcfg, tcfg, x, c, k, beta, tf_ratio)
+        return (params, opt_states, key), metrics
+
+    (params, opt_states, _), metrics = jax.lax.scan(
+        body, (params, opt_states, key), idx)
+    return params, opt_states, metrics
+
+
+@functools.partial(jax.jit, static_argnames=("mcfg", "tcfg"))
+def eval_step_gather(params: dict, mcfg: ModelConfig, tcfg: TrainConfig,
+                     tokens_all, props_all, idx, key, beta, tf_ratio):
+    """``eval_step`` fed by a device-resident corpus (``idx [B]``)."""
+    x = tokens_all[idx].astype(jnp.int32)
+    c = props_all[idx]
+    return eval_step(params, mcfg, tcfg, x, c, key, beta, tf_ratio)
+
+
 @functools.partial(jax.jit, static_argnames=("mcfg",))
 def monitor_step(encoder_params: dict, mcfg: ModelConfig, x, conditions):
     """Latent stats + monitoring-MI on one batch (reference

@@ -53,9 +53,12 @@ from mlx_vae_tpu.train.history import make_history, plot_history, save_history
 from mlx_vae_tpu.train.optim import adam_init
 from mlx_vae_tpu.train.steps import (
     eval_step,
+    eval_step_gather,
     monitor_step,
     multi_train_step,
+    multi_train_step_gather,
     train_step,
+    train_step_gather,
 )
 from mlx_vae_tpu.utils.prefetch import prefetch_to_device
 
@@ -105,6 +108,17 @@ class ARCVAETrainer:
 
         self.params = params
         self.opt_states = {name: adam_init(p) for name, p in params.items()}
+
+        # Device-resident corpus (single-device path): the tokenized data
+        # easily fits HBM while the host<->device link on tunneled backends
+        # moves ~35MB/s — shipping a K=8 batch-4096 chunk costs more than
+        # training on it (241 vs 164ms measured). Batches are fed as [B]
+        # index arrays; the gather + uint8->int32 widen run inside the
+        # jitted step. The mesh path keeps host feeding (shard_map takes
+        # per-device local batches).
+        self._device_data = self.mesh is None and not tcfg.host_data
+        self._dev_arrays = {}  # id(dataset) -> (tokens_dev, props_dev)
+
         self._shmap_step = None
         self._shmap_eval = None
         if self.mesh is not None:
@@ -136,6 +150,28 @@ class ARCVAETrainer:
                                 rng=self._shuffle_rng if shuffle else None,
                                 drop_last=drop_last)
         return prefetch_to_device(it, size=2, sharding=self._batch_sharding)
+
+    def _dev_data(self, dataset):
+        """Device-resident (tokens, normalized properties) for ``dataset``
+        (uploaded once, uint8 when the vocab fits a byte)."""
+        key = id(dataset)
+        if key not in self._dev_arrays:
+            toks = dataset.molecules
+            if self.mcfg.vocab_size <= 255:
+                toks = toks.astype(np.uint8)
+            self._dev_arrays[key] = (
+                jax.device_put(toks),
+                jax.device_put(dataset.properties_normalized
+                               .astype(np.float32)),
+            )
+        return self._dev_arrays[key]
+
+    def _index_batches(self, dataset, shuffle: bool):
+        """Index-array counterpart of ``_batches`` (device-resident feed);
+        consumes the SAME shuffle RNG, so batch composition is identical."""
+        return dataset.to_index_batches(
+            self.batch_size, shuffle=shuffle,
+            rng=self._shuffle_rng if shuffle else None, drop_last=False)
 
     # ---------------------------------------------------------------- epoch
 
@@ -192,8 +228,10 @@ class ARCVAETrainer:
         tf_arr = jnp.float32(teacher_forcing_ratio)
 
         num_batches_total = len(self.dataset) // self.batch_size
-        pbar = tqdm(self._batches(self.dataset, shuffle=True),
-                    total=num_batches_total, desc="Training batches")
+        feed = (self._index_batches(self.dataset, shuffle=True)
+                if self._device_data
+                else self._batches(self.dataset, shuffle=True))
+        pbar = tqdm(feed, total=num_batches_total, desc="Training batches")
 
         # Lagged, async metric readback: blocking device_get per batch would
         # serialize dispatch behind the host<->device round trip (which on a
@@ -239,9 +277,25 @@ class ARCVAETrainer:
 
         # Under a mesh, steps go through shard_map one batch at a time.
         K = 1 if self.mesh is not None else max(1, tcfg.steps_per_dispatch)
-        chunk = []  # host batches awaiting a fused dispatch
+        chunk = []  # payloads awaiting a fused dispatch
 
-        def one_step(m, c):
+        # Feed mode: device-resident corpus takes [B] index payloads
+        # (16KB/batch over the link); host mode takes (molecules,
+        # conditions) payloads.
+        dev = self._device_data
+        if dev:
+            toks_dev, props_dev = self._dev_data(self.dataset)
+
+        def payload_rows(p):
+            return p.shape[0] if dev else p[0].shape[0]
+
+        def one_step(p):
+            if dev:
+                return train_step_gather(
+                    self.params, self.opt_states, self.mcfg, tcfg,
+                    toks_dev, props_dev, jnp.asarray(p),
+                    self._next_key(), beta_arr, tf_arr)
+            m, c = p
             if self._shmap_step is not None:
                 return self._shmap_step(self.params, self.opt_states, m, c,
                                         self._next_key(), beta_arr, tf_arr)
@@ -254,15 +308,24 @@ class ARCVAETrainer:
                     leaf.copy_to_host_async()
 
         def dispatch_chunk(first_idx):
-            mols = np.stack([m for m, _ in chunk])
-            conds = np.stack([c for _, c in chunk])
-            if self._batch_sharding is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-                sh = NamedSharding(self.mesh, P(None, "data"))
-                mols, conds = jax.device_put(mols, sh), jax.device_put(conds, sh)
-            self.params, self.opt_states, metrics = multi_train_step(
-                self.params, self.opt_states, self.mcfg, tcfg,
-                mols, conds, self._next_key(), beta_arr, tf_arr)
+            if dev:
+                idx = jnp.asarray(np.stack(chunk))  # [K, B] int32
+                self.params, self.opt_states, metrics = \
+                    multi_train_step_gather(
+                        self.params, self.opt_states, self.mcfg, tcfg,
+                        toks_dev, props_dev, idx,
+                        self._next_key(), beta_arr, tf_arr)
+            else:
+                mols = np.stack([m for m, _ in chunk])
+                conds = np.stack([c for _, c in chunk])
+                if self._batch_sharding is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+                    sh = NamedSharding(self.mesh, P(None, "data"))
+                    mols = jax.device_put(mols, sh)
+                    conds = jax.device_put(conds, sh)
+                self.params, self.opt_states, metrics = multi_train_step(
+                    self.params, self.opt_states, self.mcfg, tcfg,
+                    mols, conds, self._next_key(), beta_arr, tf_arr)
             start_async_copy(metrics)
             pending.append((first_idx, metrics, len(chunk)))
             chunk.clear()
@@ -279,9 +342,9 @@ class ARCVAETrainer:
                                 {key: v[j] for key, v in host.items()})
 
         batch_idx = -1
-        for batch_idx, (molecules, conditions) in enumerate(pbar):
-            if K > 1 and molecules.shape[0] == self.batch_size:
-                chunk.append((molecules, conditions))
+        for batch_idx, payload in enumerate(pbar):
+            if K > 1 and payload_rows(payload) == self.batch_size:
+                chunk.append(payload)
                 if len(chunk) == K:
                     dispatch_chunk(batch_idx - K + 1)
                     flush_pending(LAG)
@@ -289,14 +352,13 @@ class ARCVAETrainer:
             # single-step path (K == 1, or a trailing partial batch)
             if chunk:  # a partial batch arrived mid-chunk: flush what we have
                 if len(chunk) == 1:
-                    m, c = chunk[0]
-                    self.params, self.opt_states, metrics = one_step(m, c)
+                    self.params, self.opt_states, metrics = one_step(chunk[0])
                     start_async_copy(metrics)
                     pending.append((batch_idx - 1, metrics, 1))
                     chunk.clear()
                 else:
                     dispatch_chunk(batch_idx - len(chunk))
-            self.params, self.opt_states, metrics = one_step(molecules, conditions)
+            self.params, self.opt_states, metrics = one_step(payload)
             start_async_copy(metrics)
             pending.append((batch_idx, metrics, 1))
             flush_pending(LAG)
@@ -309,8 +371,8 @@ class ARCVAETrainer:
                   "distinct remainder shape compiles its own program (slow on "
                   "remote backends); size the dataset a multiple of "
                   "batch_size*K to avoid this.")
-        for j, (m, c) in enumerate(chunk):
-            self.params, self.opt_states, metrics = one_step(m, c)
+        for j, p_ in enumerate(chunk):
+            self.params, self.opt_states, metrics = one_step(p_)
             start_async_copy(metrics)
             pending.append((batch_idx - len(chunk) + 1 + j, metrics, 1))
         chunk.clear()
@@ -335,14 +397,26 @@ class ARCVAETrainer:
         # Dispatch all eval steps first (async host copies), read back after —
         # avoids one host round trip of latency per batch.
         device_metrics = []
-        for batch_idx, (molecules, conditions) in enumerate(
-                self._batches(dataset, shuffle=False)):
+        dev = self._device_data
+        if dev:
+            toks_dev, props_dev = self._dev_data(dataset)
+            feed = self._index_batches(dataset, shuffle=False)
+        else:
+            feed = self._batches(dataset, shuffle=False)
+        for batch_idx, payload in enumerate(feed):
             if max_batches is not None and batch_idx >= max_batches:
                 break
-            if self._shmap_eval is not None:
+            if dev:
+                m = eval_step_gather(self.params, self.mcfg, self.tcfg,
+                                     toks_dev, props_dev,
+                                     jnp.asarray(payload), self._next_key(),
+                                     beta_arr, tf_zero)
+            elif self._shmap_eval is not None:
+                molecules, conditions = payload
                 m = self._shmap_eval(self.params, molecules, conditions,
                                      self._next_key(), beta_arr, tf_zero)
             else:
+                molecules, conditions = payload
                 m = eval_step(self.params, self.mcfg, self.tcfg,
                               molecules, conditions, self._next_key(),
                               beta_arr, tf_zero)
