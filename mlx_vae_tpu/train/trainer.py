@@ -153,18 +153,24 @@ class ARCVAETrainer:
 
     def _dev_data(self, dataset):
         """Device-resident (tokens, normalized properties) for ``dataset``
-        (uploaded once, uint8 when the vocab fits a byte)."""
+        (uploaded once, uint8 when the vocab fits a byte). The dataset
+        object is kept in the cache entry: caching by ``id()`` alone would
+        silently serve stale device arrays if a dataset were garbage
+        collected and a new one allocated at the same address."""
         key = id(dataset)
-        if key not in self._dev_arrays:
+        entry = self._dev_arrays.get(key)
+        if entry is None or entry[0] is not dataset:
             toks = dataset.molecules
             if self.mcfg.vocab_size <= 255:
                 toks = toks.astype(np.uint8)
-            self._dev_arrays[key] = (
+            entry = (
+                dataset,
                 jax.device_put(toks),
                 jax.device_put(dataset.properties_normalized
                                .astype(np.float32)),
             )
-        return self._dev_arrays[key]
+            self._dev_arrays[key] = entry
+        return entry[1], entry[2]
 
     def _index_batches(self, dataset, shuffle: bool):
         """Index-array counterpart of ``_batches`` (device-resident feed);
