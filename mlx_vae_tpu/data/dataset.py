@@ -92,13 +92,8 @@ class MoleculeDataset:
         partial batch is yielded (unless ``drop_last``); the jitted train step
         simply compiles once more for the remainder shape.
         """
-        n = len(self)
-        indices = np.arange(n)
-        if shuffle:
-            (rng or np.random).shuffle(indices)
-        end = (n // batch_size) * batch_size if drop_last else n
-        for i in range(0, end, batch_size):
-            batch_idx = indices[i : i + batch_size]
+        for batch_idx in self.to_index_batches(batch_size, shuffle=shuffle,
+                                               rng=rng, drop_last=drop_last):
             yield (
                 np.ascontiguousarray(self.molecules[batch_idx]),
                 np.ascontiguousarray(self.properties_normalized[batch_idx]),
@@ -112,10 +107,11 @@ class MoleculeDataset:
         drop_last: bool = False,
     ) -> Iterator[np.ndarray]:
         """Yield the ``[B] int32`` index arrays behind ``to_batches`` —
-        identical RNG consumption and batch composition, but the data stays
-        wherever it lives (used by the device-resident feed: the trainer
-        ships 16KB of indices per batch instead of megabytes of tokens
-        through the host<->device link)."""
+        identical RNG consumption and batch composition (``to_batches`` is
+        implemented on top of this, so the two can never desynchronize),
+        but the data stays wherever it lives (used by the device-resident
+        feed: the trainer ships 16KB of indices per batch instead of
+        megabytes of tokens through the host<->device link)."""
         n = len(self)
         indices = np.arange(n)
         if shuffle:

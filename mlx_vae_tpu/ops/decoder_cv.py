@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from mlx_vae_tpu.models.layers import linear
+from mlx_vae_tpu.ops.pallas_train_decoder import _split_acts
 
 
 def _acts(gates, H):
@@ -38,12 +39,6 @@ def _acts(gates, H):
     g = jnp.tanh(gates[..., 2 * H:3 * H])
     o = jax.nn.sigmoid(gates[..., 3 * H:])
     return i, f, g, o
-
-
-def _split_acts(acts, H):
-    """Slice stored ACTIVATED gates ``[i, f, g, o]`` (residual contract)."""
-    return (acts[..., :H], acts[..., H:2 * H], acts[..., 2 * H:3 * H],
-            acts[..., 3 * H:])
 
 
 def _weights(params, cfg, dtype):

@@ -1,7 +1,7 @@
 """Fused Pallas generation kernel.
 
-One `pallas_call` runs the ENTIRE autoregressive sampling loop for a 2-layer
-decoder: token embedding (one-hot matmul), both LSTM layers, the vocab
+One `pallas_call` runs the ENTIRE autoregressive sampling loop for the
+N-layer decoder: token embedding (one-hot matmul), the LSTM stack, the vocab
 projection, temperature/Gumbel sampling (on-core PRNG), and EOS masking —
 with every weight matrix pinned in VMEM and the (h, c, token, ended) state
 carried in VMEM scratch across a grid that is sequential in time (TPU grids
@@ -15,8 +15,11 @@ the only HBM traffic is one ``[1, BB]`` token row per step.
 Replaces (capability-wise) the reference's per-token Python sampling loop
 ``/root/reference/models/decoder_sampling.py:85-123``. Only the ``greedy``
 path is bit-comparable to the scan sampler (the stochastic path uses the
-Mosaic PRNG instead of ``jax.random``). Supports ``num_layers == 2`` with
-lane-padded vocab/feature dims; other shapes fall back to the scan sampler.
+Mosaic PRNG instead of ``jax.random``). Supports 1-8 stacked layers with
+lane-padded vocab/feature dims. The support gate is sampling-mode-aware:
+greedy runs on the bit-parity-proven shapes (H<=512), stochastic up to
+H=1024 bf16 (``pallas_generate_supported``); other shapes fall back to the
+scan sampler.
 """
 
 from __future__ import annotations
@@ -76,6 +79,12 @@ def pallas_generate_supported(cfg: ModelConfig, batch: int,
     if greedy:
         return (cfg.hidden_dim <= 512
                 and cfg.num_layers * cfg.hidden_dim * wb <= 4096)
+    if cfg.hidden_dim > 512:
+        # Every measured/validated large-H config is bf16; f32 doubles the
+        # resident set into the raised-vmem-limit regime whose compiles
+        # were never exercised (and are pathologically slow on mid sizes).
+        if cfg.compute_dtype != "bfloat16":
+            return False
     return (cfg.hidden_dim <= 1024
             and _gen_resident_bytes(cfg) <= 80 * 1024 * 1024)
 

@@ -114,8 +114,17 @@ def _acts(gates, H):
 def _split_acts(acts, H):
     """Slice stored ACTIVATED gates ``[i, f, g, o]`` (the residual-stream
     contract: forwards store post-nonlinearity gates so backwards never
-    re-run 3 sigmoids + a tanh over the 4H axis)."""
-    return acts[:, :H], acts[:, H:2 * H], acts[:, 2 * H:3 * H], acts[:, 3 * H:]
+    re-run 3 sigmoids + a tanh over the 4H axis).
+
+    bf16 caveat (documented tradeoff): a saturated gate activation rounds
+    to exactly 1.0 in a bf16 residual, so its ``a*(1-a)`` derivative term
+    is exactly 0 where the pre-activation contract would have kept a
+    ~1e-3-scale gradient. Saturated gates carry near-zero gradient either
+    way; the flush-to-zero is systematic but small, and bf16 training
+    converges comparably (30-epoch demo runs before/after). f32 residuals
+    are exact."""
+    return (acts[..., :H], acts[..., H:2 * H], acts[..., 2 * H:3 * H],
+            acts[..., 3 * H:])
 
 
 # ----------------------------------------------------------------- forward
