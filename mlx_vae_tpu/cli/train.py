@@ -74,6 +74,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Train the z->properties predictor head")
     parser.add_argument("--data_parallel", action="store_true",
                         help="Shard the batch over all visible devices")
+    parser.add_argument("--model_parallel", type=int, default=1,
+                        help="Tensor-parallel degree: shard embedding/fc_out/"
+                             "LSTM gate matrices over a 'model' mesh axis "
+                             "(devices = data_parallel x model_parallel; "
+                             "implies the GSPMD step path and disables "
+                             "--use_pallas)")
     parser.add_argument("--steps_per_dispatch", type=int, default=1,
                         help="Fuse K optimizer steps into one dispatched program")
     parser.add_argument("--host_data", action="store_true",
@@ -177,6 +183,12 @@ def main(argv=None):
                 plot.unlink()
             print("✓ Cleared old checkpoints")
 
+    if args.model_parallel > 1 and args.use_pallas:
+        print("⚠️  --model_parallel > 1 disables --use_pallas: the fused "
+              "kernels have no partitioning rule for model-sharded operands "
+              "(scan paths run instead; XLA partitions their matmuls)")
+        args.use_pallas = False
+
     mcfg = ModelConfig(
         vocab_size=args.vocab_size,
         embedding_dim=args.embedding_dim,
@@ -207,6 +219,7 @@ def main(argv=None):
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_freq=args.checkpoint_freq,
         data_parallel=args.data_parallel,
+        model_parallel=args.model_parallel,
         steps_per_dispatch=args.steps_per_dispatch,
         host_data=args.host_data,
     )

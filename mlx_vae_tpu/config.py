@@ -136,6 +136,15 @@ class TrainConfig:
 
     # TPU-specific (no reference equivalent).
     data_parallel: bool = False  # shard the batch over all visible devices
+    # Tensor parallelism degree: shard the vocab-facing matrices (embedding,
+    # fc_out) and LSTM gate matrices over a 'model' mesh axis
+    # (parallel/mesh.py). >1 routes training through GSPMD auto-partitioned
+    # steps (plain jit with sharded params) instead of shard_map, and
+    # requires use_pallas=False — the Pallas kernels hold whole gate/vocab
+    # blocks in VMEM and have no partitioning rule for model-sharded
+    # operands, so XLA cannot split them (the CLI auto-disables Pallas with
+    # a warning). Capability headroom for the scaled config.
+    model_parallel: int = 1
     # Fuse K optimizer steps into one dispatched program (lax.scan over
     # stacked batches). Amortizes per-dispatch overhead (~2.5ms measured on
     # the tunneled v5e); metrics come back stacked [K].

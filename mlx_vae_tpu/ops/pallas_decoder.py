@@ -55,12 +55,16 @@ def _gen_resident_bytes(cfg) -> int:
 
 def pallas_generate_supported(cfg: ModelConfig, batch: int,
                               greedy: bool = True) -> bool:
-    # Greedy stays capped at H <= 512 (n*H*wb <= 4096): H=1024 compiles,
+    # Greedy stays capped at H <= 512 (n*H <= 2048): H=1024 compiles,
     # but the kernel and the scan sampler sum their 1024-element dot
     # products in different orders, the ~1-ulp logit differences flip
     # argmax on near-ties, and the feedback loop amplifies one flipped
     # token into a different trajectory — so greedy bit-parity (the tested
-    # contract) only holds on the proven shapes.
+    # contract) only holds on the proven shapes. The gate is deliberately
+    # dtype-INdependent (n*H, not bytes): the H=512 parity envelope was
+    # established at f32 and bit-parity is per-dtype-tested, so weighting
+    # by wbytes would drop proven f32 shapes while admitting unproven
+    # larger bf16 ones (ADVICE r2).
     #
     # Stochastic sampling adds O(1) Gumbel noise that swamps ulp-level
     # ties, so it runs the kernel up to the measured VMEM ceiling
@@ -68,7 +72,6 @@ def pallas_generate_supported(cfg: ModelConfig, batch: int,
     # v5e, B=4096 — H=1024/2L 53x and H=1024/4L (the scaled config) 27x
     # the scan sampler; distributions validated by
     # benchmarks/sampling_stats.py.
-    wb = 2 if cfg.compute_dtype == "bfloat16" else 4
     if not (
         1 <= cfg.num_layers <= 8
         and cfg.hidden_dim % 128 == 0
@@ -78,7 +81,7 @@ def pallas_generate_supported(cfg: ModelConfig, batch: int,
         return False
     if greedy:
         return (cfg.hidden_dim <= 512
-                and cfg.num_layers * cfg.hidden_dim * wb <= 4096)
+                and cfg.num_layers * cfg.hidden_dim <= 2048)
     if cfg.hidden_dim > 512:
         # Every measured/validated large-H config is bf16; f32 doubles the
         # resident set into the raised-vmem-limit regime whose compiles

@@ -362,6 +362,11 @@ def _fwd(params, xs, h0, c0, dtype, interpret):
                                        memory_space=pltpu.VMEM)
 
     G = _gate_blocks(I, H, _dtype_wbytes(dtype))
+    if G == 0:
+        raise ValueError(
+            f"shape unsupported (input={I}, hidden={H}): no gate-block count "
+            "fits the VMEM per-buffer limit; check pallas_seq_supported "
+            "before calling")
     store_dtype = dtype
     out_specs = (tb(H), tb(H), tb(4 * H), row(H), row(H))
     out_shape = (
@@ -439,6 +444,11 @@ def lstm_seq_bwd_pallas_tm(w, xs_t, h0, c0, hs_t, cs_t, gates_t,
     BB = _block_rows(H, B)
     grid = (pl.cdiv(B, BB), L)
     G = _gate_blocks(I, H, _dtype_wbytes(w.dtype))
+    if G == 0:
+        raise ValueError(
+            f"shape unsupported (input={I}, hidden={H}): no gate-block count "
+            "fits the VMEM per-buffer limit; check pallas_seq_supported "
+            "before calling")
 
     def rev(ib, tg):
         return ((L - 1 - tg) * res_stride + res_offset, ib, 0)

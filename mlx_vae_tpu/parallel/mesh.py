@@ -10,10 +10,14 @@ process, single Metal device). This module *introduces* it TPU-natively:
   term is a batch mean, XLA's SPMD partitioner inserts the gradient
   all-reduce (psum over ICI) automatically inside the one jitted train step —
   the role NCCL would play in a torch port, with zero framework code.
-* Tensor parallelism (capability headroom for the scaled config —
-  hidden 1024 / latent 512, BASELINE.json config 4): the two vocab-facing
-  matrices (decoder output projection, embeddings) and the LSTM gate matrices
-  shard on ``'model'`` via ``param_pspec``; everything else replicates.
+* Tensor parallelism (``--model_parallel N`` on the train CLI, wired
+  end-to-end through ``ARCVAETrainer``'s GSPMD step path): the two
+  vocab-facing matrices (decoder output projection, embeddings) and the
+  LSTM gate matrices shard on ``'model'`` via ``param_pspec``; everything
+  else replicates. Requires ``use_pallas=False`` — the fused kernels hold
+  whole gate/vocab blocks in VMEM and expose no partitioning rule, so the
+  scan paths (whose matmuls XLA partitions freely) run instead; see
+  ``tests/test_parallel.py::test_model_parallel_trainer_epoch_matches_single_device``.
 
 No collective is ever written by hand here: shardings-in, XLA-collectives-out
 (the scaling-book recipe).

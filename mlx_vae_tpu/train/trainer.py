@@ -33,6 +33,7 @@ TPU-first differences:
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from pathlib import Path
 from typing import Dict, Optional
 
@@ -93,43 +94,74 @@ class ARCVAETrainer:
 
         self.history = make_history()
 
-        # Device placement / data parallelism.
+        # Device placement / data + tensor parallelism.
         self.mesh = None
         self._batch_sharding = None
-        if tcfg.data_parallel and len(jax.devices()) > 1:
-            self.mesh = make_mesh()
+        tp = max(1, tcfg.model_parallel)
+        use_mesh = (tcfg.data_parallel or tp > 1) and len(jax.devices()) > 1
+        if use_mesh:
+            self.mesh = make_mesh(model_parallel=tp)
             n_data = self.mesh.shape["data"]
             if tcfg.batch_size % n_data != 0:
                 raise ValueError(
                     f"batch_size {tcfg.batch_size} must divide over {n_data} "
                     "data-parallel devices")
             self._batch_sharding = batch_sharding(self.mesh)
-            params = jax.device_put(params, replicated_sharding(self.mesh))
+            if tp > 1 and mcfg.use_pallas:
+                raise ValueError(
+                    "model_parallel > 1 requires use_pallas=False: the fused "
+                    "kernels hold whole gate/vocab blocks in VMEM and have "
+                    "no partitioning rule for model-sharded operands "
+                    "(config.py TrainConfig.model_parallel)")
+            from mlx_vae_tpu.parallel.mesh import shard_params
+            params = shard_params(self.mesh, params, model_parallel=tp > 1)
 
         self.params = params
         self.opt_states = {name: adam_init(p) for name, p in params.items()}
 
-        # Device-resident corpus (single-device path): the tokenized data
-        # easily fits HBM while the host<->device link on tunneled backends
-        # moves ~35MB/s — shipping a K=8 batch-4096 chunk costs more than
-        # training on it (241 vs 164ms measured). Batches are fed as [B]
-        # index arrays; the gather + uint8->int32 widen run inside the
-        # jitted step. The mesh path keeps host feeding (shard_map takes
-        # per-device local batches).
-        self._device_data = self.mesh is None and not tcfg.host_data
-        self._dev_arrays = {}  # id(dataset) -> (tokens_dev, props_dev)
+        # Device-resident corpus: the tokenized data easily fits HBM while
+        # the host<->device link on tunneled backends moves ~35MB/s —
+        # shipping a K=8 batch-4096 chunk costs more than training on it
+        # (241 vs 164ms measured). Batches are fed as [B] index arrays; the
+        # gather + uint8->int32 widen run inside the jitted step. Under a
+        # mesh the corpus is REPLICATED per device and each shard gathers
+        # its local [B/n] index slice (gather-fed shard_map / GSPMD steps).
+        self._device_data = not tcfg.host_data
+        self._dev_arrays = OrderedDict()  # id(ds) -> (ds, tokens_dev, props_dev)
 
+        # Step routing under a mesh:
+        #   tp == 1 -> shard_map (explicit pmean; Pallas kernels run
+        #              per-shard unchanged),
+        #   tp > 1  -> GSPMD auto-partitioning (plain jitted steps over
+        #              sharded param trees; XLA inserts the collectives).
+        self._gspmd = tp > 1
         self._shmap_step = None
         self._shmap_eval = None
+        self._shmap_step_gather = None
+        self._shmap_multi_gather = None
+        self._shmap_eval_gather = None
         if self.mesh is not None:
-            self.opt_states = jax.device_put(
-                self.opt_states, replicated_sharding(self.mesh))
-            # SPMD via shard_map: per-device local batches (Pallas-kernel
-            # compatible), explicit pmean grad all-reduce over ICI.
-            from mlx_vae_tpu.train.steps import (make_shmap_eval_step,
-                                                 make_shmap_train_step)
-            self._shmap_step = make_shmap_train_step(self.mesh, mcfg, tcfg)
-            self._shmap_eval = make_shmap_eval_step(self.mesh, mcfg, tcfg)
+            if self._gspmd:
+                self.opt_states = shard_params(self.mesh, self.opt_states,
+                                               model_parallel=True)
+            else:
+                self.opt_states = jax.device_put(
+                    self.opt_states, replicated_sharding(self.mesh))
+                from mlx_vae_tpu.train.steps import (
+                    make_shmap_eval_step,
+                    make_shmap_eval_step_gather,
+                    make_shmap_multi_train_step_gather,
+                    make_shmap_train_step,
+                    make_shmap_train_step_gather,
+                )
+                self._shmap_step = make_shmap_train_step(self.mesh, mcfg, tcfg)
+                self._shmap_eval = make_shmap_eval_step(self.mesh, mcfg, tcfg)
+                self._shmap_step_gather = make_shmap_train_step_gather(
+                    self.mesh, mcfg, tcfg)
+                self._shmap_multi_gather = make_shmap_multi_train_step_gather(
+                    self.mesh, mcfg, tcfg)
+                self._shmap_eval_gather = make_shmap_eval_step_gather(
+                    self.mesh, mcfg, tcfg)
 
     # ---------------------------------------------------------------- utils
 
@@ -151,6 +183,11 @@ class ARCVAETrainer:
                                 drop_last=drop_last)
         return prefetch_to_device(it, size=2, sharding=self._batch_sharding)
 
+    # Train + val + one ad-hoc eval set; a 4th distinct dataset evicts the
+    # least-recently-used entry so HBM can't accumulate stale corpora
+    # (ADVICE r2).
+    _DEV_CACHE_MAX = 3
+
     def _dev_data(self, dataset):
         """Device-resident (tokens, normalized properties) for ``dataset``
         (uploaded once, uint8 when the vocab fits a byte). The dataset
@@ -165,19 +202,47 @@ class ARCVAETrainer:
                 toks = toks.astype(np.uint8)
             entry = (
                 dataset,
-                jax.device_put(toks),
+                jax.device_put(toks, self._corpus_sharding()),
                 jax.device_put(dataset.properties_normalized
-                               .astype(np.float32)),
+                               .astype(np.float32), self._corpus_sharding()),
             )
+            self._dev_arrays.pop(key, None)
             self._dev_arrays[key] = entry
+            while len(self._dev_arrays) > self._DEV_CACHE_MAX:
+                _, (_, t, p) = self._dev_arrays.popitem(last=False)
+                for arr in (t, p):
+                    if hasattr(arr, "delete"):
+                        arr.delete()
+        else:
+            self._dev_arrays.move_to_end(key)
         return entry[1], entry[2]
+
+    def _corpus_sharding(self):
+        """Replicate the device-resident corpus across the mesh (None on a
+        single device): each shard gathers its own local batch rows from a
+        full copy, so index arrays — not corpus rows — cross the link."""
+        if self.mesh is None:
+            return None
+        return replicated_sharding(self.mesh)
 
     def _index_batches(self, dataset, shuffle: bool):
         """Index-array counterpart of ``_batches`` (device-resident feed);
-        consumes the SAME shuffle RNG, so batch composition is identical."""
+        consumes the SAME shuffle RNG, so batch composition is identical.
+        Under a mesh partial batches are dropped (they cannot shard)."""
         return dataset.to_index_batches(
             self.batch_size, shuffle=shuffle,
-            rng=self._shuffle_rng if shuffle else None, drop_last=False)
+            rng=self._shuffle_rng if shuffle else None,
+            drop_last=self.mesh is not None)
+
+    def _put_idx(self, idx_np):
+        """Index array -> device, sharded on 'data' under a mesh (the
+        leading axis is the batch for [B]; axis 1 for stacked [K, B])."""
+        if self.mesh is None:
+            return jnp.asarray(idx_np)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = P("data") if idx_np.ndim == 1 else P(None, "data")
+        return jax.device_put(np.asarray(idx_np),
+                              NamedSharding(self.mesh, spec))
 
     # ---------------------------------------------------------------- epoch
 
@@ -281,8 +346,13 @@ class ARCVAETrainer:
             if batch_idx % 10 == 0 and hasattr(pbar, "set_postfix"):
                 pbar.set_postfix({"loss": f"{loss_val:.4f}"})
 
-        # Under a mesh, steps go through shard_map one batch at a time.
-        K = 1 if self.mesh is not None else max(1, tcfg.steps_per_dispatch)
+        # K>1 dispatch fusion runs everywhere except the mesh+host-feed
+        # shard_map path (its per-device local batches arrive one at a
+        # time through prefetch; --host_data under a mesh is the opt-out
+        # corner, kept simple at K=1).
+        host_shmap = (self.mesh is not None and not self._device_data
+                      and not self._gspmd)
+        K = 1 if host_shmap else max(1, tcfg.steps_per_dispatch)
         chunk = []  # payloads awaiting a fused dispatch
 
         # Feed mode: device-resident corpus takes [B] index payloads
@@ -297,9 +367,15 @@ class ARCVAETrainer:
 
         def one_step(p):
             if dev:
+                if self._shmap_step_gather is not None:
+                    return self._shmap_step_gather(
+                        self.params, self.opt_states, toks_dev, props_dev,
+                        self._put_idx(p), self._next_key(), beta_arr, tf_arr)
+                # single-device or GSPMD (tp>1): plain jitted gather step —
+                # under a mesh XLA partitions it from the input shardings.
                 return train_step_gather(
                     self.params, self.opt_states, self.mcfg, tcfg,
-                    toks_dev, props_dev, jnp.asarray(p),
+                    toks_dev, props_dev, self._put_idx(p),
                     self._next_key(), beta_arr, tf_arr)
             m, c = p
             if self._shmap_step is not None:
@@ -315,12 +391,18 @@ class ARCVAETrainer:
 
         def dispatch_chunk(first_idx):
             if dev:
-                idx = jnp.asarray(np.stack(chunk))  # [K, B] int32
-                self.params, self.opt_states, metrics = \
-                    multi_train_step_gather(
-                        self.params, self.opt_states, self.mcfg, tcfg,
-                        toks_dev, props_dev, idx,
-                        self._next_key(), beta_arr, tf_arr)
+                idx = self._put_idx(np.stack(chunk))  # [K, B] int32
+                if self._shmap_multi_gather is not None:
+                    self.params, self.opt_states, metrics = \
+                        self._shmap_multi_gather(
+                            self.params, self.opt_states, toks_dev, props_dev,
+                            idx, self._next_key(), beta_arr, tf_arr)
+                else:
+                    self.params, self.opt_states, metrics = \
+                        multi_train_step_gather(
+                            self.params, self.opt_states, self.mcfg, tcfg,
+                            toks_dev, props_dev, idx,
+                            self._next_key(), beta_arr, tf_arr)
             else:
                 mols = np.stack([m for m, _ in chunk])
                 conds = np.stack([c for _, c in chunk])
@@ -413,10 +495,18 @@ class ARCVAETrainer:
             if max_batches is not None and batch_idx >= max_batches:
                 break
             if dev:
-                m = eval_step_gather(self.params, self.mcfg, self.tcfg,
-                                     toks_dev, props_dev,
-                                     jnp.asarray(payload), self._next_key(),
-                                     beta_arr, tf_zero)
+                if self._shmap_eval_gather is not None:
+                    m = self._shmap_eval_gather(self.params, toks_dev,
+                                                props_dev,
+                                                self._put_idx(payload),
+                                                self._next_key(), beta_arr,
+                                                tf_zero)
+                else:
+                    m = eval_step_gather(self.params, self.mcfg, self.tcfg,
+                                         toks_dev, props_dev,
+                                         self._put_idx(payload),
+                                         self._next_key(),
+                                         beta_arr, tf_zero)
             elif self._shmap_eval is not None:
                 molecules, conditions = payload
                 m = self._shmap_eval(self.params, molecules, conditions,
@@ -438,6 +528,11 @@ class ARCVAETrainer:
             sums["collapse"] += float(m["collapse_penalty"])
             sums["prop"] += float(m["prop_loss"])
             n += 1
+        if n == 0 and len(dataset) > 0:
+            print(f"   ⚠️  {desc}: dataset has {len(dataset)} samples < "
+                  f"batch_size {self.batch_size}; partial batches cannot "
+                  "shard over the mesh — metrics report 0.0 (shrink "
+                  "batch_size or grow the split)")
         return {k: v / n if n else 0.0 for k, v in sums.items()}
 
     def _compute_true_train_loss(self, epoch: int,
@@ -500,9 +595,11 @@ class ARCVAETrainer:
         for name, s in loaded["opt_states"].items():
             self.opt_states[name] = s
         if self.mesh is not None:
-            sh = replicated_sharding(self.mesh)
-            self.params = jax.device_put(self.params, sh)
-            self.opt_states = jax.device_put(self.opt_states, sh)
+            from mlx_vae_tpu.parallel.mesh import shard_params
+            self.params = shard_params(self.mesh, self.params,
+                                       model_parallel=self._gspmd)
+            self.opt_states = shard_params(self.mesh, self.opt_states,
+                                           model_parallel=self._gspmd)
         if loaded["history"] is not None:
             self.history = loaded["history"]
         return loaded["epoch"]

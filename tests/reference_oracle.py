@@ -193,6 +193,111 @@ def oracle_loss(params, x_tok, cond, eps, tf_mask, num_layers, hyp):
     }
 
 
+def _loss_and_raw_grads(params_np, x, cond, eps, tf_mask, num_layers, hyp):
+    """Loss dict (floats) + raw pre-clip gradients (numpy tree) at
+    ``params_np``."""
+    params = _tree_to_torch(params_np, requires_grad=True)
+    x_tok = torch.as_tensor(np.asarray(x), dtype=torch.long)
+    losses = oracle_loss(params, x_tok, _t(cond), _t(eps),
+                         np.asarray(tf_mask), num_layers, hyp)
+    leaves = _tree_leaves(params)
+    grads = torch.autograd.grad(losses["total_loss"], leaves,
+                                allow_unused=True)
+    grads = [g if g is not None else torch.zeros_like(p)
+             for g, p in zip(grads, leaves)]
+
+    def rebuild(tree, flat_iter):
+        if isinstance(tree, dict):
+            return {k: rebuild(tree[k], flat_iter) for k in sorted(tree)}
+        return next(flat_iter)
+
+    grad_tree = rebuild(params, iter(g.detach().numpy() for g in grads))
+    loss_np = {k: float(v.detach()) for k, v in losses.items()}
+    return loss_np, grad_tree
+
+
+def _np_tree(fn, *trees):
+    if isinstance(trees[0], dict):
+        return {k: _np_tree(fn, *(t[k] for t in trees)) for k in trees[0]}
+    return fn(*trees)
+
+
+def oracle_train_trajectory(params_np, xs, conds, epses, tf_masks, num_layers,
+                            beta, lambda_prop=0.1, lambda_collapse=0.001,
+                            free_bits=1.0, lambda_mi=0.01, target_mi=4.85,
+                            lr=2e-4, grad_clip=1.0,
+                            adam_b1=0.9, adam_b2=0.999, adam_eps=1e-8):
+    """``S`` consecutive reference training steps with PERSISTENT Adam
+    moments (the single-step oracle starts from zero state; a trajectory is
+    what the reference actually runs — ``/root/reference/trainer.py:292-333``
+    repeated per batch, the optimizer states carrying across).
+
+    ``xs [S, B, L]`` int tokens, ``conds [S, B, C]``, ``epses [S, B, D]``
+    reparameterization noise, ``tf_masks [S, L]`` bool teacher-forcing masks
+    (all caller-supplied so the framework and the oracle consume identical
+    randomness). ``beta`` may be a scalar or a length-S sequence.
+
+    Returns ``(loss_dicts, final_params, grad_norms)``: per-step loss
+    scalars, the post-trajectory parameter tree (numpy), and the raw
+    global grad norm per step (lets tests assert the clip actually fired).
+    """
+    S = len(xs)
+    betas = [float(beta)] * S if np.ndim(beta) == 0 else [float(b) for b in beta]
+    params = _np_tree(lambda a: np.array(a, dtype=np.float32, copy=True),
+                      params_np)
+    m_state = _np_tree(np.zeros_like, params)
+    v_state = _np_tree(np.zeros_like, params)
+
+    loss_dicts, grad_norms = [], []
+    for s in range(S):
+        hyp = dict(beta=betas[s], lambda_prop=lambda_prop,
+                   lambda_collapse=lambda_collapse, free_bits=free_bits,
+                   lambda_mi=lambda_mi, target_mi=target_mi)
+        loss_np, grads = _loss_and_raw_grads(params, xs[s], conds[s],
+                                             epses[s], tf_masks[s],
+                                             num_layers, hyp)
+        flat = []
+        _np_flatten(grads, flat)
+        norm = float(np.sqrt(sum(float((g.astype(np.float64) ** 2).sum())
+                                 for g in flat)))
+        # float32 norm like both implementations (float64 above is only for
+        # the returned diagnostic; the clip uses the f32 value).
+        norm32 = np.float32(np.sqrt(np.float32(
+            sum(np.float32((g ** 2).sum()) for g in flat))))
+        if grad_clip > 0 and norm32 > grad_clip:
+            scale = np.float32(grad_clip) / (norm32 + np.float32(1e-8))
+            grads = _np_tree(lambda g: g * scale, grads)
+
+        def upd(p, g, m, v):
+            m2 = adam_b1 * m + (1 - adam_b1) * g
+            v2 = adam_b2 * v + (1 - adam_b2) * g * g
+            p2 = p - lr * m2 / (np.sqrt(v2) + adam_eps)
+            return p2.astype(np.float32), m2.astype(np.float32), \
+                v2.astype(np.float32)
+
+        def upd_tree(p, g, m, v):
+            if isinstance(p, dict):
+                out_p, out_m, out_v = {}, {}, {}
+                for k in p:
+                    out_p[k], out_m[k], out_v[k] = upd_tree(p[k], g[k],
+                                                            m[k], v[k])
+                return out_p, out_m, out_v
+            return upd(p, g, m, v)
+
+        params, m_state, v_state = upd_tree(params, grads, m_state, v_state)
+        loss_dicts.append(loss_np)
+        grad_norms.append(norm)
+    return loss_dicts, params, grad_norms
+
+
+def _np_flatten(tree, out):
+    if isinstance(tree, dict):
+        for k in sorted(tree):
+            _np_flatten(tree[k], out)
+    else:
+        out.append(tree)
+
+
 def oracle_train_step(params_np, x, conditions, eps, tf_mask, num_layers,
                       beta, lambda_prop=0.1, lambda_collapse=0.001,
                       free_bits=1.0, lambda_mi=0.01, target_mi=4.85,

@@ -166,6 +166,115 @@ def test_data_parallel_trainer_epoch(tmp_path):
 
 
 @requires_8
+def test_mesh_device_feed_matches_host_feed(tmp_path):
+    """Under the 8-device mesh, the gather-fed shard_map path (replicated
+    device-resident corpus + local [B/n] index slices) must be numerically
+    IDENTICAL to host feeding: same shuffle RNG, same per-shard rows, same
+    fold_in keys — bit-equal train/val losses over 2 epochs (VERDICT r2
+    item 3)."""
+    make_synthetic_dataset(n=320, vocab_size=24, max_length=12,
+                           path=str(tmp_path / "d.json"))
+    from mlx_vae_tpu.data.split import load_and_split
+    train_ds, val_ds, _, _ = load_and_split(str(tmp_path / "d.json"))
+    mcfg = ModelConfig(vocab_size=24, embedding_dim=16, hidden_dim=32,
+                       latent_dim=8, num_conditions=1, num_layers=2)
+    results = {}
+    for host in (False, True):
+        tcfg = TrainConfig(epochs=2, batch_size=32, learning_rate=3e-3,
+                           data_parallel=True, host_data=host,
+                           true_loss_batches=3,
+                           checkpoint_dir=str(tmp_path / f"ck_hd{int(host)}"))
+        vae = ARCVAE(mcfg, jax.random.PRNGKey(11))
+        trainer = ARCVAETrainer(vae.params, mcfg, tcfg, train_ds)
+        assert trainer.mesh is not None
+        assert trainer._device_data is (not host)
+        ms = [trainer.train_epoch(e, 2, val_dataset=val_ds) for e in range(2)]
+        results[host] = [(m["train_loss"], m["val_loss"]) for m in ms]
+    assert results[False] == results[True]
+
+
+@requires_8
+def test_mesh_device_feed_k4_dispatch(tmp_path):
+    """K=4 fused gather dispatch under the mesh (the r2 ``K = 1 if mesh``
+    restriction, lifted): runs the shmap multi-gather step, trains to a
+    loss close to the K=1 run, and keeps params replicated."""
+    make_synthetic_dataset(n=320, vocab_size=24, max_length=12,
+                           path=str(tmp_path / "d.json"))
+    from mlx_vae_tpu.data.split import load_and_split
+    train_ds, _, _, _ = load_and_split(str(tmp_path / "d.json"))
+    mcfg = ModelConfig(vocab_size=24, embedding_dim=16, hidden_dim=32,
+                       latent_dim=8, num_conditions=1, num_layers=2)
+    losses = {}
+    for k in (1, 4):
+        tcfg = TrainConfig(epochs=2, batch_size=32, learning_rate=3e-3,
+                           data_parallel=True, steps_per_dispatch=k,
+                           true_loss_batches=3,
+                           checkpoint_dir=str(tmp_path / f"ck_k{k}"))
+        vae = ARCVAE(mcfg, jax.random.PRNGKey(7))
+        trainer = ARCVAETrainer(vae.params, mcfg, tcfg, train_ds)
+        trainer.train_epoch(0, 2, val_dataset=None)
+        losses[k] = trainer.train_epoch(1, 2, val_dataset=None)["train_loss"]
+        w = trainer.params["decoder"]["fc_out"]["weight"]
+        shards = [np.asarray(s.data) for s in w.addressable_shards]
+        for s in shards[1:]:
+            np.testing.assert_array_equal(s, shards[0])
+    # same data/init/schedule; only PRNG batching differs (scan splits keys)
+    assert abs(losses[1] - losses[4]) / losses[1] < 0.2
+
+
+@requires_8
+def test_model_parallel_trainer_epoch_matches_single_device(tmp_path):
+    """tp=2 end-to-end (VERDICT r2 item 4): a trainer built with
+    ``model_parallel=2`` forms the 4x2 mesh, shards embedding/fc_out/gate
+    matrices on 'model', and — because the GSPMD path reuses the plain
+    jitted steps with identical PRNG — reproduces the single-device run's
+    losses to numerical tolerance."""
+    make_synthetic_dataset(n=320, vocab_size=24, max_length=12,
+                           path=str(tmp_path / "d.json"))
+    from mlx_vae_tpu.data.split import load_and_split
+    train_ds, val_ds, _, _ = load_and_split(str(tmp_path / "d.json"))
+    mcfg = ModelConfig(vocab_size=24, embedding_dim=16, hidden_dim=32,
+                       latent_dim=8, num_conditions=1, num_layers=2)
+    results = {}
+    for tp in (1, 2):
+        tcfg = TrainConfig(epochs=2, batch_size=32, learning_rate=3e-3,
+                           model_parallel=tp, data_parallel=tp > 1,
+                           true_loss_batches=3,
+                           checkpoint_dir=str(tmp_path / f"ck_tp{tp}"))
+        vae = ARCVAE(mcfg, jax.random.PRNGKey(5))
+        trainer = ARCVAETrainer(vae.params, mcfg, tcfg, train_ds,
+                                seed=123)
+        if tp == 2:
+            assert trainer.mesh is not None and trainer._gspmd
+            assert dict(trainer.mesh.shape) == {"data": 4, "model": 2}
+            emb = trainer.params["decoder"]["embedding"]["weight"]
+            assert len({s.index for s in emb.addressable_shards}) == 2
+        else:
+            assert trainer.mesh is None
+        ms = [trainer.train_epoch(e, 2, val_dataset=val_ds)
+              for e in range(2)]
+        results[tp] = ms
+    for m1, m2 in zip(results[1], results[2]):
+        for k in ("train_loss", "val_loss", "train_recon", "train_kl"):
+            np.testing.assert_allclose(m1[k], m2[k], rtol=5e-4, atol=1e-5)
+
+
+def test_model_parallel_rejects_pallas():
+    """tp>1 + use_pallas is a configuration error (the fused kernels have
+    no partitioning rule for model-sharded operands)."""
+    if jax.device_count() < 2:
+        pytest.skip("needs >1 device")
+    mcfg = ModelConfig(vocab_size=24, embedding_dim=16, hidden_dim=32,
+                       latent_dim=8, num_conditions=1, num_layers=2,
+                       use_pallas=True)
+    tcfg = TrainConfig(batch_size=32, model_parallel=2)
+    vae = ARCVAE(mcfg.replace(use_pallas=False), jax.random.PRNGKey(0))
+    ds = MoleculeDataset(np.zeros((64, 12), np.int32), np.zeros((64, 1)), 12)
+    with pytest.raises(ValueError, match="use_pallas"):
+        ARCVAETrainer(vae.params, mcfg, tcfg, ds)
+
+
+@requires_8
 def test_shmap_train_step_replicated_and_finite():
     """shard_map SPMD step: loss finite, updated params identical on every
     device (replicated after the pmean'd update)."""
