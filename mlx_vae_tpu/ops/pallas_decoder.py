@@ -36,6 +36,11 @@ from mlx_vae_tpu.config import ModelConfig
 
 _BB = 256  # batch rows per block
 
+# Experiment hook (greedy-parity probe, benchmarks/greedy_parity_probe.py):
+# force the in-kernel dots to accumulate in sequential K-chunks of this
+# size. None = one MXU dot (production).
+_ACC_CHUNK = None
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -55,16 +60,26 @@ def _gen_resident_bytes(cfg) -> int:
 
 def pallas_generate_supported(cfg: ModelConfig, batch: int,
                               greedy: bool = True) -> bool:
-    # Greedy stays capped at H <= 512 (n*H <= 2048): H=1024 compiles,
-    # but the kernel and the scan sampler sum their 1024-element dot
-    # products in different orders, the ~1-ulp logit differences flip
-    # argmax on near-ties, and the feedback loop amplifies one flipped
-    # token into a different trajectory — so greedy bit-parity (the tested
-    # contract) only holds on the proven shapes. The gate is deliberately
-    # dtype-INdependent (n*H, not bytes): the H=512 parity envelope was
-    # established at f32 and bit-parity is per-dtype-tested, so weighting
-    # by wbytes would drop proven f32 shapes while admitting unproven
-    # larger bf16 ones (ADVICE r2).
+    # Greedy contract is tiered (measured: benchmarks/greedy_parity_probe.py
+    # -> greedy_parity_probe.json, v5e):
+    #
+    # * H <= 512 (n*H <= 2048): BIT parity with the scan sampler — the
+    #   tested contract (probe control: 100.00% row agreement). The bound
+    #   is deliberately dtype-INdependent (n*H, not bytes): the envelope
+    #   was established at f32 and bit-parity is per-dtype-tested, so
+    #   weighting by wbytes would drop proven f32 shapes while admitting
+    #   unproven larger bf16 ones (ADVICE r2).
+    # * H > 512 (bf16, same VMEM envelope as stochastic): DISTRIBUTIONAL
+    #   parity. The kernel and the scan sampler sum 1024-element dots in
+    #   different orders; measured at H=1024/4L bf16, 0.39% of rows have a
+    #   top-2 logit margin < 1e-5 and exactly those rows flip argmax
+    #   (99.61% first-token, 97.5% full-row agreement), which the feedback
+    #   loop turns into a different suffix. Forcing explicit sequential
+    #   K-chunk accumulation orders in-kernel (512/256/128, _ACC_CHUNK
+    #   hook) does NOT recover bit parity — the tie flips are intrinsic to
+    #   the two compilers' reduction orders, so the ~27-70x kernel speedup
+    #   is taken and the contract documented instead (docs/DESIGN.md
+    #   "Greedy parity at large H").
     #
     # Stochastic sampling adds O(1) Gumbel noise that swamps ulp-level
     # ties, so it runs the kernel up to the measured VMEM ceiling
@@ -79,9 +94,8 @@ def pallas_generate_supported(cfg: ModelConfig, batch: int,
         and jax.default_backend() in ("tpu",)
     ):
         return False
-    if greedy:
-        return (cfg.hidden_dim <= 512
-                and cfg.num_layers * cfg.hidden_dim <= 2048)
+    if greedy and cfg.hidden_dim <= 512:
+        return cfg.num_layers * cfg.hidden_dim <= 2048  # bit-parity tier
     if cfg.hidden_dim > 512:
         # Every measured/validated large-H config is bf16; f32 doubles the
         # resident set into the raised-vmem-limit regime whose compiles
@@ -116,12 +130,25 @@ def _kernel(cfg, Vp, K0, L, use_gumbel,
     zpad = jnp.zeros((BB, pad), jnp.float32)
     col = jax.lax.broadcasted_iota(jnp.int32, (BB, Vp), 1)
 
+    def acc_dot(a, w):
+        """f32-accumulated dot; _ACC_CHUNK (experiment hook) forces an
+        explicit sequential K-chunk accumulation order — used to probe
+        whether any fixed order reproduces the scan path's logits bitwise
+        at H=1024 (docs/DESIGN.md 'Greedy parity at H=1024')."""
+        a = a.astype(w.dtype)
+        K = a.shape[1]
+        if not _ACC_CHUNK or K <= _ACC_CHUNK:
+            return jnp.dot(a, w, preferred_element_type=jnp.float32)
+        acc = jnp.dot(a[:, :_ACC_CHUNK], w[:_ACC_CHUNK],
+                      preferred_element_type=jnp.float32)
+        for k0 in range(_ACC_CHUNK, K, _ACC_CHUNK):
+            acc = acc + jnp.dot(a[:, k0:k0 + _ACC_CHUNK],
+                                w[k0:k0 + _ACC_CHUNK],
+                                preferred_element_type=jnp.float32)
+        return acc
+
     def cell(x_in, wx, wh, b, h, c):
-        gates = (jnp.dot(x_in.astype(wx.dtype), wx,
-                         preferred_element_type=jnp.float32)
-                 + jnp.dot(h.astype(wh.dtype), wh,
-                           preferred_element_type=jnp.float32)
-                 + b)
+        gates = acc_dot(x_in, wx) + acc_dot(h, wh) + b
         i = jax.nn.sigmoid(gates[:, :H])
         f = jax.nn.sigmoid(gates[:, H:2 * H])
         g = jnp.tanh(gates[:, 2 * H:3 * H])
@@ -147,8 +174,7 @@ def _kernel(cfg, Vp, K0, L, use_gumbel,
             x = h_l
         hs = jnp.stack(new_hs)
         cs = jnp.stack(new_cs)
-        logits = jnp.dot(x.astype(wout_ref.dtype), wout_ref[:],
-                         preferred_element_type=jnp.float32) + bout_ref[0]
+        logits = acc_dot(x, wout_ref[:]) + bout_ref[0]
         scaled = logits / temp
         if use_gumbel:
             bits = pltpu.prng_random_bits((BB, Vp))

@@ -89,10 +89,13 @@ def _vmem_estimate(cfg, BB: int) -> int:
     weights = ((K0 + H) * 4 * H + nr * 2 * H * 4 * H + H * Vp + Vp * E) * wb
     dW = ((K0 + H) * 4 * H + nr * 2 * H * 4 * H + H * Vp + Vp * E
           + n * 4 * H + Vp) * 4
-    # streamed per-t blocks (hs/cs cur+prev + gates + dlog), double-buffered
-    streams = 2 * (4 * n * BB * H * wb + n * BB * 4 * H * wb + BB * Vp * 4)
-    scratch = 2 * n * BB * H * 4
-    return weights + dW + streams + scratch
+    # streamed per-t blocks (hs/cs prev-only + gates + dlog), double-buffered;
+    # the cur hs/cs are carried in scratch (single-fetch streaming) with a
+    # const last-step seed block resident
+    streams = 2 * (2 * n * BB * H * wb + n * BB * 4 * H * wb + BB * Vp * 4)
+    seed_blocks = 2 * n * BB * H * wb
+    scratch = 2 * n * BB * H * 4 + 2 * n * BB * H * wb
+    return weights + dW + streams + seed_blocks + scratch
 
 
 def pallas_train_decoder_supported(cfg, batch: int) -> bool:
@@ -371,14 +374,23 @@ def decoder_fwd_blk(params, cfg, h_init, conditions, target_seq, tf_mask,
 
 def _bwd_kernel(n, H, Vp, E, C, K0, with_ce,
                 din_ref, targets_ref, toks_ref, cond_ref, h0_ref,
-                hs_ref, cs_ref, gs_ref, hsp_ref, csp_ref,
+                hlast_ref, clast_ref, gs_ref, hsp_ref, csp_ref,
                 emb_ref, w0_ref, wr_ref, wout_ref, bout_ref,
                 dw0_ref, dwr_ref, dbs_ref, dwout_ref, dbout_ref, demb_ref,
                 dhinit_ref, dcond_ref,
-                dh_s, dc_s):
+                dh_s, dc_s, hcur_s, ccur_s):
     """``din_ref`` is the dlogits stream (``with_ce=False``) or the
     per-sample dce column (``with_ce=True``, logits recomputed from the
-    stored top-layer h)."""
+    stored top-layer h).
+
+    Single-fetch residual streaming: the hs/cs streams used to be read
+    TWICE per step (current t and previous t-1 blocks). Walking time
+    backwards, step ``tg``'s previous block IS step ``tg+1``'s current
+    block — so only the t-1 stream (``hsp/csp``) is fetched, the current
+    values live in the ``hcur_s/ccur_s`` scratch carried between grid
+    steps (seeded from the const ``hlast/clast`` block at tg=0), and the
+    end of each step rolls the just-fetched prev block into the scratch.
+    Halves the hs/cs read bandwidth with bitwise-identical math."""
     tg = pl.program_id(1)
     L = pl.num_programs(1)
     t = L - 1 - tg
@@ -398,6 +410,8 @@ def _bwd_kernel(n, H, Vp, E, C, K0, with_ce,
         dh_s[:] = jnp.zeros_like(dh_s)
         dc_s[:] = jnp.zeros_like(dc_s)
         dcond_ref[:] = jnp.zeros_like(dcond_ref)
+        hcur_s[:] = hlast_ref[0]
+        ccur_s[:] = clast_ref[0]
 
     BB = dh_s.shape[1]
     first = (t == 0)
@@ -405,7 +419,7 @@ def _bwd_kernel(n, H, Vp, E, C, K0, with_ce,
     col = jax.lax.broadcasted_iota(jnp.int32, (BB, Vp), 1)
 
     # ---- output projection (dlogits from the stream, or recomputed CE) ----
-    h_top = hs_ref[0, n - 1].astype(jnp.float32)
+    h_top = hcur_s[n - 1].astype(jnp.float32)
     if with_ce:
         logits = jnp.dot(h_top.astype(wout_ref.dtype), wout_ref[:],
                          preferred_element_type=jnp.float32) + bout_ref[0]
@@ -432,7 +446,7 @@ def _bwd_kernel(n, H, Vp, E, C, K0, with_ce,
         i_, f_, g_, o_ = _split_acts(a_all, H)
         c_prev = jnp.where(first, 0.0, csp_ref[0, l].astype(jnp.float32))
         h_prev = jnp.where(first, h0_ref[:], hsp_ref[0, l].astype(jnp.float32))
-        tc = jnp.tanh(cs_ref[0, l].astype(jnp.float32))
+        tc = jnp.tanh(ccur_s[l].astype(jnp.float32))
         dh_total = dh_s[l] + from_above
         dc_tot = dc_s[l] + dh_total * o_ * (1.0 - tc * tc)
         w_l = w0_ref[:] if l == 0 else wr_ref[l - 1]
@@ -449,7 +463,7 @@ def _bwd_kernel(n, H, Vp, E, C, K0, with_ce,
 
         if l > 0:
             # input to layer l is layer l-1's output at THIS step
-            x_in = hs_ref[0, l - 1].astype(jnp.float32)
+            x_in = hcur_s[l - 1].astype(jnp.float32)
             inp = jnp.concatenate([x_in, h_prev], axis=1).astype(w_l.dtype)
             dwr_ref[l - 1] += jax.lax.dot_general(
                 inp, dgates, (((0,), (0,)), ((), ())),
@@ -474,6 +488,11 @@ def _bwd_kernel(n, H, Vp, E, C, K0, with_ce,
                 (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
             dcond_ref[:] += dinp[:, E:E + C]
             dh_s[0] = dinp[:, K0:]
+
+    # roll the just-fetched t-1 block into the "current" scratch for the
+    # next grid step (which computes time t-1)
+    hcur_s[:] = hsp_ref[0]
+    ccur_s[:] = csp_ref[0]
 
     @pl.when(tg == L - 1)
     def _():
@@ -605,6 +624,11 @@ def _run_bwd(cfg, interpret, residuals, din, with_ce):
     tbr = lambda w_: pl.BlockSpec((1, n, BB, w_), rev, memory_space=pltpu.VMEM)
     tbp = lambda w_: pl.BlockSpec((1, n, BB, w_), rev_prev,
                                   memory_space=pltpu.VMEM)
+    # constant-per-ib block of the LAST time step (seeds the current-state
+    # scratch; see _bwd_kernel's single-fetch streaming note)
+    tlast = lambda w_: pl.BlockSpec((1, n, BB, w_),
+                                    lambda ib, tg: (L - 1, 0, ib, 0),
+                                    memory_space=pltpu.VMEM)
     tbr2 = pl.BlockSpec((8, BB), rev2, memory_space=pltpu.VMEM)
     row = lambda w_: pl.BlockSpec((BB, w_), lambda ib, tg: (ib, 0),
                                   memory_space=pltpu.VMEM)
@@ -625,7 +649,7 @@ def _run_bwd(cfg, interpret, residuals, din, with_ce):
         grid=grid,
         in_specs=[
             din_spec, tbr2, tbr2, row(C), row(H),
-            tbr(H), tbr(H), tbr(4 * H),
+            tlast(H), tlast(H), tbr(4 * H),
             tbp(H), tbp(H),
             const((Vp, E)), const((K0 + H, 4 * H)),
             const((max(n - 1, 1), 2 * H, 4 * H)),
@@ -648,7 +672,8 @@ def _run_bwd(cfg, interpret, residuals, din, with_ce):
             jax.ShapeDtypeStruct((B, H), jnp.float32),                # dh_init
             jax.ShapeDtypeStruct((B, C), jnp.float32),                # dcond
         ),
-        scratch_shapes=[pltpu.VMEM((n, BB, H), jnp.float32)] * 2,
+        scratch_shapes=[pltpu.VMEM((n, BB, H), jnp.float32)] * 2
+        + [pltpu.VMEM((n, BB, H), hs.dtype)] * 2,
         interpret=interpret,
     )(din_arr, targets_t, toks_t, cond_f, h_init, hs, cs, gs, hs, cs,
       emb, w0, wr, wout, bout)

@@ -91,3 +91,34 @@ def test_validity_proxy():
     bad = [[5, 6, 7, 8, 9, 10]]  # never terminated
     assert selfies_validity(good, []) == 1.0
     assert selfies_validity(bad, []) == 0.0
+
+
+def test_fused_greedy_gate_tiers():
+    """Greedy fused-generation support is tiered (ops/pallas_decoder.py):
+    bit-parity envelope at H<=512 (dtype-independent n*H<=2048), and the
+    distributional tier at H>512 restricted to bf16 under the stochastic
+    VMEM ceiling (benchmarks/greedy_parity_probe.json). Gate logic is
+    backend-independent apart from the TPU check, which we bypass here."""
+    from unittest import mock
+
+    import jax as _jax
+
+    from mlx_vae_tpu.config import ModelConfig
+    from mlx_vae_tpu.ops.pallas_decoder import pallas_generate_supported
+
+    def gate(h, n, dt, greedy=True):
+        cfg = ModelConfig(hidden_dim=h, num_layers=n, compute_dtype=dt)
+        with mock.patch.object(_jax, "default_backend", return_value="tpu"):
+            return pallas_generate_supported(cfg, 4096, greedy=greedy)
+
+    # bit-parity tier: dtype-independent n*H <= 2048 (ADVICE r2)
+    assert gate(512, 4, "float32")
+    assert gate(512, 4, "bfloat16")
+    assert gate(256, 8, "float32")
+    assert not gate(512, 8, "float32")  # n*H = 4096 > 2048
+
+    # distributional tier: H > 512 requires bf16 (and the VMEM ceiling)
+    assert gate(1024, 4, "bfloat16")       # the scaled config, now fused
+    assert gate(1024, 2, "bfloat16")
+    assert not gate(1024, 4, "float32")    # f32 large-H never fused
+    assert not gate(1024, 8, "bfloat16")   # resident set over 80MB

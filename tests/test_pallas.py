@@ -232,6 +232,89 @@ class TestFusedTrainDecoder:
                 err_msg=f"grad mismatch at {jax.tree_util.keystr(k)}")
 
 
+class TestBf16GradParity:
+    """bf16 kernel gradient parity (ADVICE r2): the ACTIVATED-gates
+    residual contract stores post-sigmoid/tanh values in the compute
+    dtype; in bf16 a saturated gate rounds to exactly 1.0 so its a*(1-a)
+    derivative term flushes to exactly 0. The f32 parity tests cannot see
+    this — these pin the bf16 behavior with tolerances calibrated to the
+    measured quantization error, and a saturation-specific case checks the
+    flush stays bounded rather than corrupting the update direction."""
+
+    def _setup(self, bias_boost=0.0):
+        from mlx_vae_tpu.config import ModelConfig
+        from mlx_vae_tpu.models import init_decoder_params
+        cfg = ModelConfig(vocab_size=24, embedding_dim=16, hidden_dim=128,
+                          latent_dim=8, num_conditions=1, num_layers=2,
+                          compute_dtype="bfloat16")
+        params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+        if bias_boost:
+            # Push the input/forget gate pre-activations toward saturation
+            # (sigmoid(10) rounds to 1.0 in bf16).
+            for i in range(cfg.num_layers):
+                b = params[f"lstm_layer_{i}"]["bias"]
+                H = cfg.hidden_dim
+                params[f"lstm_layer_{i}"]["bias"] = \
+                    b.at[: 2 * H].add(bias_boost)
+        B, L = 8, 9
+        z = jax.random.normal(jax.random.PRNGKey(1), (B, cfg.latent_dim))
+        cond = jax.random.normal(jax.random.PRNGKey(2), (B, 1))
+        targets = jax.random.randint(jax.random.PRNGKey(3), (B, L), 0,
+                                     cfg.vocab_size)
+        tf_mask = jnp.asarray([1, 0, 1, 1, 0, 1, 0, 1, 1], bool)
+        return cfg, params, z, cond, targets, tf_mask
+
+    def _grads(self, cfg, params, z, cond, targets, tf_mask):
+        from mlx_vae_tpu.ops.pallas_train_decoder import decoder_train_pallas
+        from mlx_vae_tpu.models.layers import linear
+        w = jax.random.normal(jax.random.PRNGKey(9),
+                              (targets.shape[1], cfg.vocab_size))
+        scan = TestFusedTrainDecoder()
+
+        def loss_ref(p, zz, cc):
+            logits = scan._scan_logits(cfg, p, zz, cc, targets, tf_mask)
+            return jnp.sum(logits * w[None])
+
+        def loss_pal(p, zz, cc):
+            ccf = cc.astype(jnp.float32)
+            h_init = (linear(p["z_to_hidden"], zz, cfg.dtype)
+                      + linear(p["condition_to_hidden"], ccf, cfg.dtype)) / 2.0
+            logits = decoder_train_pallas(p, cfg, h_init, ccf, targets,
+                                          True, tf_mask)
+            return jnp.sum(logits * w[None])
+
+        g1 = jax.grad(loss_ref, argnums=(0, 1, 2))(params, z, cond)
+        g2 = jax.grad(loss_pal, argnums=(0, 1, 2))(params, z, cond)
+        return g1, g2
+
+    @pytest.mark.parametrize("bias_boost", [0.0, 10.0])
+    def test_bf16_gradients_match_autodiff(self, bias_boost):
+        cfg, params, z, cond, targets, tf_mask = self._setup(bias_boost)
+        g1, g2 = self._grads(cfg, params, z, cond, targets, tf_mask)
+        flat1 = jax.tree_util.tree_leaves_with_path(g1)
+        flat2 = {jax.tree_util.keystr(k): v
+                 for k, v in jax.tree_util.tree_leaves_with_path(g2)}
+        # Scale-relative bound per leaf: bf16 has ~3 decimal digits; the
+        # residual quantization adds noise proportional to the leaf's
+        # gradient magnitude, not elementwise-relative.
+        for k, a in flat1:
+            b = flat2[jax.tree_util.keystr(k)]
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b, np.float32)
+            scale = max(float(np.abs(a).max()), 1e-3)
+            err = float(np.abs(b - a).max()) / scale
+            assert err < 4e-2, (
+                f"bf16 grad mismatch at {jax.tree_util.keystr(k)} "
+                f"(bias_boost={bias_boost}): scaled err {err:.3e}")
+            # direction must agree: the update must not be corrupted
+            denom = float(np.linalg.norm(a) * np.linalg.norm(b))
+            if denom > 1e-8:
+                cos = float(np.sum(a * b)) / denom
+                assert cos > 0.99, (
+                    f"bf16 grad direction at {jax.tree_util.keystr(k)}: "
+                    f"cos {cos:.4f}")
+
+
 class TestFusedDecoderCE:
     def _setup(self, num_layers=2):
         from mlx_vae_tpu.config import ModelConfig
