@@ -24,6 +24,22 @@ import pytest  # noqa: E402
 from mlx_vae_tpu.config import ModelConfig  # noqa: E402
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run tests marked slow (full tier, ~22 min; default skips "
+             "them for a <10 min fast tier)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow tier: pass --runslow to include")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def tiny_cfg() -> ModelConfig:
     return ModelConfig(vocab_size=24, embedding_dim=16, hidden_dim=32,

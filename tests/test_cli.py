@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.slow
 def test_train_cli_end_to_end(tmp_path, monkeypatch):
     from mlx_vae_tpu.cli.train import main
     monkeypatch.chdir(tmp_path)
@@ -40,6 +41,7 @@ def test_train_cli_end_to_end(tmp_path, monkeypatch):
     assert len(h["epoch"]) >= 3
 
 
+@pytest.mark.slow
 def test_generate_cli_end_to_end(tmp_path, monkeypatch):
     from mlx_vae_tpu.cli.train import main as train_main
     from mlx_vae_tpu.cli.generate import main as gen_main
@@ -117,6 +119,7 @@ def test_generate_cli_errors_without_stats(tmp_path):
     assert (tmp_path / "g.json").exists()
 
 
+@pytest.mark.slow
 def test_generate_cli_infers_shape_from_checkpoint(tmp_path, monkeypatch):
     """Model dims default to the checkpoint's parameter shapes; an explicit
     contradicting flag is a hard error (not a silent broadcast crash)."""

@@ -514,6 +514,7 @@ class TestFusedEncoderStack:
                                        rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_stochastic_sampling_statistics():
     """Chi-square + temperature-monotonicity validation of the fused
     sampler's Gumbel path (VERDICT r1 weak #3). The Mosaic PRNG has no CPU
@@ -539,6 +540,7 @@ def test_stochastic_sampling_statistics():
     assert "chi2_pass=True entropy_monotone=True" in r.stdout
 
 
+@pytest.mark.slow
 def test_train_decoder_scaled_config_grads():
     """Scaled-config shapes (hidden 1024 / 4 layers, BASELINE.md): the fused
     CE kernel's gradients must match the scan+CE path (interpret mode, tiny

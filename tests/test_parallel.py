@@ -123,6 +123,7 @@ def test_data_parallel_generation_matches_single_device():
     np.testing.assert_array_equal(np.asarray(got), ref)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_self_provisions_from_single_device():
     """Regression for the round-1 driver failure: ``dryrun_multichip(8)``
     called from a process whose backend has ONE device must re-exec itself
@@ -165,6 +166,7 @@ def test_data_parallel_trainer_epoch(tmp_path):
     assert np.isfinite(m["train_loss"]) and np.isfinite(m["val_loss"])
 
 
+@pytest.mark.slow
 @requires_8
 def test_mesh_device_feed_matches_host_feed(tmp_path):
     """Under the 8-device mesh, the gather-fed shard_map path (replicated
@@ -193,6 +195,7 @@ def test_mesh_device_feed_matches_host_feed(tmp_path):
     assert results[False] == results[True]
 
 
+@pytest.mark.slow
 @requires_8
 def test_mesh_device_feed_k4_dispatch(tmp_path):
     """K=4 fused gather dispatch under the mesh (the r2 ``K = 1 if mesh``
@@ -222,6 +225,7 @@ def test_mesh_device_feed_k4_dispatch(tmp_path):
     assert abs(losses[1] - losses[4]) / losses[1] < 0.2
 
 
+@pytest.mark.slow
 @requires_8
 def test_model_parallel_trainer_epoch_matches_single_device(tmp_path):
     """tp=2 end-to-end (VERDICT r2 item 4): a trainer built with

@@ -10,6 +10,8 @@ import json
 import os
 import subprocess
 import sys
+
+import pytest
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
@@ -29,6 +31,7 @@ SHAPES = ["--vocab_size", "24", "--embedding_dim", "16", "--hidden_dim", "32",
           "--latent_dim", "8", "--num_layers", "2"]
 
 
+@pytest.mark.slow
 def test_train_and_generate_as_processes(tmp_path):
     data = str(tmp_path / "d.json")
     ck = str(tmp_path / "ck")
@@ -53,6 +56,7 @@ def test_train_and_generate_as_processes(tmp_path):
     assert len(g["tokens"]) == 32
 
 
+@pytest.mark.slow
 def test_diagnostics_scripts_run(tmp_path):
     """The three reference-parity diagnostic scripts must run as processes
     (the reference's only 'test suite' — SURVEY.md §4)."""

@@ -201,6 +201,7 @@ class TestTrainerE2E:
 
 
 class TestStepsPerDispatch:
+    @pytest.mark.slow
     def test_fused_dispatch_matches_accounting(self, tiny_setup):
         """K>1 path: every batch is accounted exactly once, training works,
         and the trailing partial chunk + partial batch are handled."""
@@ -215,6 +216,7 @@ class TestStepsPerDispatch:
         m = trainer.train_epoch(0, 1, val_dataset=val_ds)
         assert np.isfinite(m["train_loss"]) and np.isfinite(m["val_loss"])
 
+    @pytest.mark.slow
     def test_device_feed_matches_host_feed(self, tiny_setup):
         """The device-resident index feed must be numerically IDENTICAL to
         host batching: same shuffle-RNG consumption -> same batch
@@ -234,6 +236,7 @@ class TestStepsPerDispatch:
             results[host] = [(m["train_loss"], m["val_loss"]) for m in ms]
         assert results[False] == results[True]
 
+    @pytest.mark.slow
     def test_k1_and_k4_train_similarly(self, tiny_setup):
         tmp, train_ds, _, mcfg = tiny_setup
         losses = {}
