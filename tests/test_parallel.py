@@ -258,6 +258,18 @@ def test_model_parallel_trainer_epoch_matches_single_device(tmp_path):
         ms = [trainer.train_epoch(e, 2, val_dataset=val_ds)
               for e in range(2)]
         results[tp] = ms
+        # checkpoint roundtrip with model-sharded params: save gathers the
+        # shards, load re-shards onto the mesh
+        trainer.save_checkpoint(1, is_best=True, best_val_loss=ms[-1]["val_loss"])
+        w_before = np.asarray(trainer.params["decoder"]["fc_out"]["weight"])
+        trainer.load_checkpoint(
+            str(tmp_path / f"ck_tp{tp}" / "checkpoint_best.npz"))
+        np.testing.assert_array_equal(
+            np.asarray(trainer.params["decoder"]["fc_out"]["weight"]),
+            w_before)
+        if tp == 2:
+            emb = trainer.params["decoder"]["embedding"]["weight"]
+            assert len({s.index for s in emb.addressable_shards}) == 2
     for m1, m2 in zip(results[1], results[2]):
         for k in ("train_loss", "val_loss", "train_recon", "train_kl"):
             np.testing.assert_allclose(m1[k], m2[k], rtol=5e-4, atol=1e-5)
