@@ -6,7 +6,15 @@ must give the same 9-scalar loss dict, the same gradients, and the same
 post-Adam parameters, where "same" is computed by a from-scratch torch
 implementation (``tests/reference_oracle.py``) that shares no code with
 ``mlx_vae_tpu``. Both teacher-forcing extremes are covered: TF=1 (pure
-ground-truth feedback) and TF=0 (pure argmax feedback).
+ground-truth feedback) and TF=0 (pure argmax feedback), plus a 3-layer
+stack (deeper than the reference default).
+
+Dtype scope: the oracle pins FLOAT32 semantics — the dtype of the
+reference (MLX default) and of this framework's default compute path. The
+bf16 mode the benches run is covered separately by kernel-vs-scan parity
+at bf16 (`tests/test_pallas.py::TestBf16GradParity`): bf16 changes
+rounding, not semantics, so the oracle chain is f32-exact semantics +
+bf16 kernel-vs-reference-path equivalence.
 """
 
 import jax
@@ -34,9 +42,9 @@ HYP = dict(beta=0.05, lambda_prop=0.1, lambda_collapse=0.001, free_bits=1.0,
            lambda_mi=0.01, target_mi=4.85, lr=2e-4, grad_clip=1.0)
 
 
-def _setup(tf_ratio: float, with_predictor: bool):
+def _setup(tf_ratio: float, with_predictor: bool, num_layers: int = 2):
     mcfg = ModelConfig(vocab_size=24, embedding_dim=16, hidden_dim=32,
-                       latent_dim=8, num_conditions=1, num_layers=2,
+                       latent_dim=8, num_conditions=1, num_layers=num_layers,
                        reference_zero_state=True)
     tcfg = TrainConfig(batch_size=16, learning_rate=HYP["lr"],
                        lambda_prop=HYP["lambda_prop"],
@@ -60,9 +68,11 @@ def _setup(tf_ratio: float, with_predictor: bool):
     return mcfg, tcfg, vae, x, cond, key, eps, tf_mask
 
 
-@pytest.mark.parametrize("tf_ratio", [1.0, 0.0])
-def test_step_matches_oracle(tf_ratio):
-    mcfg, tcfg, vae, x, cond, key, eps, tf_mask = _setup(tf_ratio, True)
+@pytest.mark.parametrize("tf_ratio,num_layers",
+                         [(1.0, 2), (0.0, 2), (1.0, 3)])
+def test_step_matches_oracle(tf_ratio, num_layers):
+    mcfg, tcfg, vae, x, cond, key, eps, tf_mask = _setup(tf_ratio, True,
+                                                         num_layers)
     params_np = jax.device_get(vae.params)
 
     # --- oracle step (torch, CPU, from-scratch reference math)
