@@ -85,15 +85,22 @@ def analyze(curves, epochs, warm):
     cross_mode_mean = [sum(g) / len(g) for g in cross_mode]
 
     # Same-mode cross-seed noise floor: all seed pairs within one mode.
+    # With a single seed there are no pairs — noise statistics are None
+    # rather than a ZeroDivisionError after the training already ran.
     pairs = list(itertools.combinations(seeds, 2))
-    noise = {}
-    for m in modes:
-        per_epoch = [
-            [_rel_gap(elbos[m][s][e], elbos[m][t][e]) for (s, t) in pairs]
-            for e in range(epochs)
-        ]
-        noise[m] = [sum(g) / len(g) for g in per_epoch]
-    noise_floor = [max(noise[ma][e], noise[mb][e]) for e in range(epochs)]
+    if pairs:
+        noise = {}
+        for m in modes:
+            per_epoch = [
+                [_rel_gap(elbos[m][s][e], elbos[m][t][e]) for (s, t) in pairs]
+                for e in range(epochs)
+            ]
+            noise[m] = [sum(g) / len(g) for g in per_epoch]
+        noise_floor = [max(noise[ma][e], noise[mb][e])
+                       for e in range(epochs)]
+    else:
+        noise = {m: None for m in modes}
+        noise_floor = None
 
     # Epoch-wise gap between the seed-MEAN curves (averaging cancels
     # independent seed noise, exposing any systematic mode divergence).
@@ -125,6 +132,8 @@ def analyze(curves, epochs, warm):
         return sum(v) / len(v)
 
     def _stdev(v):
+        if len(v) < 2:
+            return None
         mu = _mean(v)
         return (sum((x - mu) ** 2 for x in v) / (len(v) - 1)) ** 0.5
 
@@ -137,7 +146,7 @@ def analyze(curves, epochs, warm):
         "mean_curve_gap_per_epoch": mean_curve_gap,
         "post_warmup": {
             "cross_mode": post(cross_mode_mean),
-            "noise_floor": post(noise_floor),
+            "noise_floor": post(noise_floor) if noise_floor else None,
             "mean_curve_gap": post(mean_curve_gap),
             "final_cross_mode_gap": cross_mode_mean[-1],
             "final_mean_curve_gap": mean_curve_gap[-1],
@@ -227,13 +236,15 @@ def main():
     print(f"  cross-mode gap   mean {100 * pw['cross_mode']['mean']:.2f}%  "
           f"max {100 * pw['cross_mode']['max']:.2f}%  "
           f"final {100 * pw['final_cross_mode_gap']:.2f}%")
-    print(f"  noise floor      mean {100 * pw['noise_floor']['mean']:.2f}%  "
-          f"max {100 * pw['noise_floor']['max']:.2f}%")
+    if pw["noise_floor"]:
+        print(f"  noise floor      mean {100 * pw['noise_floor']['mean']:.2f}%"
+              f"  max {100 * pw['noise_floor']['max']:.2f}%")
     print(f"  seed-mean curves mean {100 * pw['mean_curve_gap']['mean']:.2f}%  "
           f"max {100 * pw['mean_curve_gap']['max']:.2f}%  "
           f"final {100 * pw['final_mean_curve_gap']:.2f}%")
-    within = pw["cross_mode"]["mean"] <= pw["noise_floor"]["mean"] * 1.25
-    print(f"  cross-mode within 1.25x noise floor: {within}")
+    if pw["noise_floor"]:
+        within = pw["cross_mode"]["mean"] <= pw["noise_floor"]["mean"] * 1.25
+        print(f"  cross-mode within 1.25x noise floor: {within}")
     ta = analysis["time_averaged_post_warmup_elbo"]
     print(f"  time-averaged ELBO: cross-mode gap "
           f"{100 * ta['cross_mode_gap']:.2f}%  within-mode seed spread "
@@ -241,8 +252,9 @@ def main():
                       for m, v in ta["within_mode_seed_spread"].items()))
     fe = analysis["final_epoch"]
     print(f"  final epoch: mean gap {100 * fe['cross_mode_gap']:.2f}%  "
-          f"stdevs " + "  ".join(f"{m}={v:.3f}"
-                                 for m, v in fe["mode_stdevs"].items()))
+          f"stdevs " + "  ".join(
+              f"{m}={v:.3f}" if v is not None else f"{m}=n/a (1 seed)"
+              for m, v in fe["mode_stdevs"].items()))
     print(f"wrote {args.output}")
 
     try:
@@ -262,8 +274,10 @@ def main():
         axes[1].plot(ep, [100 * g for g in
                           analysis["cross_mode_gap_per_epoch"]],
                      label="cross-mode gap")
-        axes[1].plot(ep, [100 * g for g in analysis["noise_floor_per_epoch"]],
-                     c="gray", label="same-mode noise floor")
+        if analysis["noise_floor_per_epoch"]:
+            axes[1].plot(ep, [100 * g for g in
+                              analysis["noise_floor_per_epoch"]],
+                         c="gray", label="same-mode noise floor")
         axes[1].plot(ep, [100 * g for g in
                           analysis["mean_curve_gap_per_epoch"]],
                      ls=":", label="seed-mean curve gap")

@@ -120,6 +120,13 @@ def main():
     print("control H=256/2L float32:", flush=True)
     out.append(probe_config(256, 2, "float32", args.batch, args.max_length,
                             [None]))
+    # The full corners of the bit-parity tier (H<=512, n*H<=2048) in both
+    # dtypes — the gate's claim is measured, not assumed (code-review r3).
+    for h, n, dt in ((512, 4, "float32"), (512, 4, "bfloat16"),
+                     (256, 8, "float32"), (512, 2, "bfloat16")):
+        print(f"tier-corner H={h}/{n}L {dt}:", flush=True)
+        out.append(probe_config(h, n, dt, args.batch, args.max_length,
+                                [None]))
     # The scaled config, all candidate accumulation orders.
     print("scaled H=1024/4L bfloat16:", flush=True)
     out.append(probe_config(1024, 4, "bfloat16", args.batch, args.max_length,

@@ -358,6 +358,22 @@ def make_shmap_multi_train_step_gather(mesh, mcfg: ModelConfig,
     return jax.jit(shmap, donate_argnums=(0, 1))
 
 
+def _shmap_local_eval(params, mcfg, tcfg, x, conditions, key, beta,
+                      tf_ratio):
+    """Per-shard eval body shared by both shard_map eval variants
+    (``key`` is already shard-folded)."""
+    d = complete_vae_loss(
+        params["encoder"], params["decoder"], params.get("predictor"),
+        mcfg, x, conditions, key,
+        beta=beta, lambda_prop=tcfg.lambda_prop,
+        lambda_collapse=tcfg.lambda_collapse,
+        teacher_forcing_ratio=tf_ratio, free_bits=tcfg.free_bits,
+        lambda_mi=tcfg.lambda_mi, target_mi=tcfg.target_mi,
+        training=False,
+    )
+    return _reduce_metrics_over("data", _scalar_metrics(d))
+
+
 def make_shmap_eval_step_gather(mesh, mcfg: ModelConfig, tcfg: TrainConfig):
     """Gather-fed SPMD eval step (replicated corpus, ``P('data')`` index)."""
     from jax.sharding import PartitionSpec as P
@@ -366,16 +382,8 @@ def make_shmap_eval_step_gather(mesh, mcfg: ModelConfig, tcfg: TrainConfig):
         key = jax.random.fold_in(key, jax.lax.axis_index("data"))
         x = tokens_all[idx].astype(jnp.int32)
         c = props_all[idx]
-        d = complete_vae_loss(
-            params["encoder"], params["decoder"], params.get("predictor"),
-            mcfg, x, c, key,
-            beta=beta, lambda_prop=tcfg.lambda_prop,
-            lambda_collapse=tcfg.lambda_collapse,
-            teacher_forcing_ratio=tf_ratio, free_bits=tcfg.free_bits,
-            lambda_mi=tcfg.lambda_mi, target_mi=tcfg.target_mi,
-            training=False,
-        )
-        return _reduce_metrics_over("data", _scalar_metrics(d))
+        return _shmap_local_eval(params, mcfg, tcfg, x, c, key, beta,
+                                 tf_ratio)
 
     shmap = jax.shard_map(
         local_eval, mesh=mesh,
@@ -392,16 +400,8 @@ def make_shmap_eval_step(mesh, mcfg: ModelConfig, tcfg: TrainConfig):
 
     def local_eval(params, x, conditions, key, beta, tf_ratio):
         key = jax.random.fold_in(key, jax.lax.axis_index("data"))
-        d = complete_vae_loss(
-            params["encoder"], params["decoder"], params.get("predictor"),
-            mcfg, x, conditions, key,
-            beta=beta, lambda_prop=tcfg.lambda_prop,
-            lambda_collapse=tcfg.lambda_collapse,
-            teacher_forcing_ratio=tf_ratio, free_bits=tcfg.free_bits,
-            lambda_mi=tcfg.lambda_mi, target_mi=tcfg.target_mi,
-            training=False,
-        )
-        return _reduce_metrics_over("data", _scalar_metrics(d))
+        return _shmap_local_eval(params, mcfg, tcfg, x, conditions, key,
+                                 beta, tf_ratio)
 
     shmap = jax.shard_map(
         local_eval, mesh=mesh,

@@ -98,6 +98,13 @@ class ARCVAETrainer:
         self.mesh = None
         self._batch_sharding = None
         tp = max(1, tcfg.model_parallel)
+        if tp > 1 and len(jax.devices()) < tp:
+            # Refuse rather than silently train single-device: the user
+            # asked for tensor parallelism they would not be getting
+            # (code-review r3).
+            raise ValueError(
+                f"model_parallel={tp} requires at least {tp} devices; "
+                f"{len(jax.devices())} visible")
         use_mesh = (tcfg.data_parallel or tp > 1) and len(jax.devices()) > 1
         if use_mesh:
             self.mesh = make_mesh(model_parallel=tp)
@@ -529,10 +536,18 @@ class ARCVAETrainer:
             sums["prop"] += float(m["prop_loss"])
             n += 1
         if n == 0 and len(dataset) > 0:
+            # No full batch fit the mesh (partial batches cannot shard).
+            # Report +inf loss, NOT 0.0: a zero val_loss would win the
+            # is_best comparison and freeze checkpoint_best on untrained
+            # weights (code-review r3).
             print(f"   ⚠️  {desc}: dataset has {len(dataset)} samples < "
                   f"batch_size {self.batch_size}; partial batches cannot "
-                  "shard over the mesh — metrics report 0.0 (shrink "
-                  "batch_size or grow the split)")
+                  "shard over the mesh — loss reports +inf so it can never "
+                  "be selected as best (shrink batch_size or grow the "
+                  "split; under a mesh trailing partial batches are "
+                  "likewise dropped from eval metrics)")
+            return {k: (float("inf") if k == "loss" else 0.0)
+                    for k in sums}
         return {k: v / n if n else 0.0 for k, v in sums.items()}
 
     def _compute_true_train_loss(self, epoch: int,

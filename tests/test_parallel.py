@@ -151,7 +151,7 @@ def test_dryrun_multichip_self_provisions_from_single_device():
 
 @requires_8
 def test_data_parallel_trainer_epoch(tmp_path):
-    make_synthetic_dataset(n=300, vocab_size=24, max_length=12,
+    make_synthetic_dataset(n=320, vocab_size=24, max_length=12,
                            path=str(tmp_path / "d.json"))
     from mlx_vae_tpu.data.split import load_and_split
     train_ds, val_ds, _, _ = load_and_split(str(tmp_path / "d.json"))
@@ -164,6 +164,27 @@ def test_data_parallel_trainer_epoch(tmp_path):
     assert trainer.mesh is not None
     m = trainer.train_epoch(0, 1, val_dataset=val_ds)
     assert np.isfinite(m["train_loss"]) and np.isfinite(m["val_loss"])
+
+
+@requires_8
+def test_mesh_undersized_eval_reports_inf_not_zero(tmp_path):
+    """A val split smaller than one batch cannot shard over the mesh; its
+    loss must report +inf (never selectable as best), NOT 0.0 — a zero
+    would freeze checkpoint_best on untrained weights (code-review r3)."""
+    make_synthetic_dataset(n=320, vocab_size=24, max_length=12,
+                           path=str(tmp_path / "d.json"))
+    from mlx_vae_tpu.data.split import load_and_split
+    train_ds, val_ds, _, _ = load_and_split(str(tmp_path / "d.json"))
+    assert len(val_ds) == 32
+    mcfg = ModelConfig(vocab_size=24, embedding_dim=16, hidden_dim=32,
+                       latent_dim=8, num_conditions=1, num_layers=2)
+    tcfg = TrainConfig(epochs=1, batch_size=64, data_parallel=True,
+                       true_loss_batches=2,
+                       checkpoint_dir=str(tmp_path / "c"))
+    vae = ARCVAE(mcfg, jax.random.PRNGKey(0))
+    trainer = ARCVAETrainer(vae.params, mcfg, tcfg, train_ds)
+    m = trainer._eval_batches(val_ds, 0.05, None, "Validating")
+    assert m["loss"] == float("inf")
 
 
 @pytest.mark.slow
