@@ -186,6 +186,12 @@ def main():
         args.molecules = prev["config"]["molecules"]
         args.batch_size = prev["config"]["batch_size"]
         seeds = prev["config"]["seeds"]
+        if args.output == ap.get_default("output"):
+            # Reanalysis writes back to the file it read unless an output
+            # is named explicitly — the default would silently overwrite
+            # the committed canonical artifact with another run's data
+            # (code-review r3).
+            args.output = args.reanalyze
     else:
         seeds = [int(s) for s in args.seeds.split(",")]
 

@@ -120,10 +120,15 @@ def main():
     print("control H=256/2L float32:", flush=True)
     out.append(probe_config(256, 2, "float32", args.batch, args.max_length,
                             [None]))
-    # The full corners of the bit-parity tier (H<=512, n*H<=2048) in both
-    # dtypes — the gate's claim is measured, not assumed (code-review r3).
-    for h, n, dt in ((512, 4, "float32"), (512, 4, "bfloat16"),
-                     (256, 8, "float32"), (512, 2, "bfloat16")):
+    # The corners of the fused-greedy envelope (n*H<=2048 for H<=512) in
+    # both dtypes — the gate's tier claims are measured, not assumed
+    # (code-review r3): the H=256 rows establish where bit parity actually
+    # holds, the H>=384 rows where it degrades to distributional.
+    for h, n, dt in ((256, 2, "bfloat16"), (256, 8, "bfloat16"),
+                     (384, 3, "float32"), (384, 3, "bfloat16"),
+                     (512, 2, "float32"), (512, 2, "bfloat16"),
+                     (512, 4, "float32"), (512, 4, "bfloat16"),
+                     (256, 8, "float32")):
         print(f"tier-corner H={h}/{n}L {dt}:", flush=True)
         out.append(probe_config(h, n, dt, args.batch, args.max_length,
                                 [None]))

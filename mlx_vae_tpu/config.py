@@ -143,7 +143,10 @@ class TrainConfig:
     # requires use_pallas=False — the Pallas kernels hold whole gate/vocab
     # blocks in VMEM and have no partitioning rule for model-sharded
     # operands, so XLA cannot split them (the CLI auto-disables Pallas with
-    # a warning). Capability headroom for the scaled config.
+    # a warning). Without data_parallel the mesh is PURE tp — (1, tp) over
+    # the first tp devices; with data_parallel the remaining devices form
+    # the 'data' axis (n_devices/tp × tp). Capability headroom for the
+    # scaled config.
     model_parallel: int = 1
     # Fuse K optimizer steps into one dispatched program (lax.scan over
     # stacked batches). Amortizes per-dispatch overhead (~2.5ms measured on

@@ -60,26 +60,32 @@ def _gen_resident_bytes(cfg) -> int:
 
 def pallas_generate_supported(cfg: ModelConfig, batch: int,
                               greedy: bool = True) -> bool:
-    # Greedy contract is tiered (measured: benchmarks/greedy_parity_probe.py
-    # -> greedy_parity_probe.json, v5e):
+    # Greedy contract is DISTRIBUTIONAL, not bitwise (measured at every
+    # admitted envelope corner: benchmarks/greedy_parity_probe.py ->
+    # greedy_parity_probe.json, v5e, B=512/L=64 — code-review r3
+    # downgraded the former "bit-parity tier" claim to what the probe
+    # actually shows):
     #
-    # * H <= 512 (n*H <= 2048): BIT parity with the scan sampler — the
-    #   tested contract (probe control: 100.00% row agreement). The bound
-    #   is deliberately dtype-INdependent (n*H, not bytes): the envelope
-    #   was established at f32 and bit-parity is per-dtype-tested, so
-    #   weighting by wbytes would drop proven f32 shapes while admitting
-    #   unproven larger bf16 ones (ADVICE r2).
-    # * H > 512 (bf16, same VMEM envelope as stochastic): DISTRIBUTIONAL
-    #   parity. The kernel and the scan sampler sum 1024-element dots in
-    #   different orders; measured at H=1024/4L bf16, 0.39% of rows have a
-    #   top-2 logit margin < 1e-5 and exactly those rows flip argmax
-    #   (99.61% first-token, 97.5% full-row agreement), which the feedback
-    #   loop turns into a different suffix. Forcing explicit sequential
+    # * All 11 probed corners agree with the scan sampler on >= 99.0% of
+    #   first tokens and >= 97.0% of full rows; disagreeing rows flip
+    #   argmax exactly where the top-2 logit margin is tiny (e.g. at
+    #   H=1024/4L bf16 the 0.39% of rows with margin < 1e-5 are precisely
+    #   the flips) and the token feedback then diverges the suffix.
+    # * Exact BIT parity is a per-corner measurement, not a tier: it held
+    #   at the f32 corners H=256/2L, H=256/8L and H=512/2L (100.00% rows),
+    #   but NOT at f32 H=384/3L or H=512/4L (99.80%) and at NO bf16 corner
+    #   (H=256/2L bf16: 99.22%) — parity depends on whether XLA's chosen
+    #   reduction order for the scan path happens to match the kernel's,
+    #   which no shape/dtype formula predicts. Forcing explicit sequential
     #   K-chunk accumulation orders in-kernel (512/256/128, _ACC_CHUNK
-    #   hook) does NOT recover bit parity — the tie flips are intrinsic to
-    #   the two compilers' reduction orders, so the ~27-70x kernel speedup
-    #   is taken and the contract documented instead (docs/DESIGN.md
-    #   "Greedy parity at large H").
+    #   hook) does not change the agreement rate, so the ~27-70x kernel
+    #   speedup is taken under the documented distributional contract
+    #   (docs/DESIGN.md "Greedy parity"). Bit-exactness vs the scan
+    #   sampler, where needed, means use_pallas=False.
+    # * The H <= 512 greedy envelope keeps the historical n*H <= 2048
+    #   bound (the probed region); H > 512 additionally requires bf16 —
+    #   f32 doubles the resident set into the raised-vmem-limit regime
+    #   whose compiles were never exercised.
     #
     # Stochastic sampling adds O(1) Gumbel noise that swamps ulp-level
     # ties, so it runs the kernel up to the measured VMEM ceiling
@@ -95,7 +101,7 @@ def pallas_generate_supported(cfg: ModelConfig, batch: int,
     ):
         return False
     if greedy and cfg.hidden_dim <= 512:
-        return cfg.num_layers * cfg.hidden_dim <= 2048  # bit-parity tier
+        return cfg.num_layers * cfg.hidden_dim <= 2048  # probed envelope
     if cfg.hidden_dim > 512:
         # Every measured/validated large-H config is bf16; f32 doubles the
         # resident set into the raised-vmem-limit regime whose compiles

@@ -48,7 +48,12 @@ except ImportError:  # pragma: no cover
         return it
 
 from mlx_vae_tpu.config import ModelConfig, TrainConfig
-from mlx_vae_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+from mlx_vae_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicated_sharding,
+    shard_params,
+)
 from mlx_vae_tpu.train import checkpoint as ckpt_io
 from mlx_vae_tpu.train.history import make_history, plot_history, save_history
 from mlx_vae_tpu.train.optim import adam_init
@@ -107,7 +112,16 @@ class ARCVAETrainer:
                 f"{len(jax.devices())} visible")
         use_mesh = (tcfg.data_parallel or tp > 1) and len(jax.devices()) > 1
         if use_mesh:
-            self.mesh = make_mesh(model_parallel=tp)
+            if tcfg.data_parallel:
+                devices = None  # all visible: data = n_devices / tp
+            else:
+                # --model_parallel alone means PURE tensor parallelism:
+                # a (1, tp) mesh over the first tp devices. Spanning every
+                # visible device here would silently add data parallelism
+                # the user never enabled — and surface as a baffling
+                # batch-divisibility error (code-review r3).
+                devices = jax.devices()[:tp]
+            self.mesh = make_mesh(devices, model_parallel=tp)
             n_data = self.mesh.shape["data"]
             if tcfg.batch_size % n_data != 0:
                 raise ValueError(
@@ -120,7 +134,6 @@ class ARCVAETrainer:
                     "kernels hold whole gate/vocab blocks in VMEM and have "
                     "no partitioning rule for model-sharded operands "
                     "(config.py TrainConfig.model_parallel)")
-            from mlx_vae_tpu.parallel.mesh import shard_params
             params = shard_params(self.mesh, params, model_parallel=tp > 1)
 
         self.params = params
@@ -536,6 +549,12 @@ class ARCVAETrainer:
             sums["prop"] += float(m["prop_loss"])
             n += 1
         if n == 0 and len(dataset) > 0:
+            if max_batches is not None and max_batches <= 0:
+                # Explicitly disabled (e.g. true_loss_batches=0) — not a
+                # sharding problem; report neutral zeros as before r3
+                # (never feeds the is_best comparison, which uses the
+                # max_batches=None validation path).
+                return {k: 0.0 for k in sums}
             # No full batch fit the mesh (partial batches cannot shard).
             # Report +inf loss, NOT 0.0: a zero val_loss would win the
             # is_best comparison and freeze checkpoint_best on untrained
@@ -610,7 +629,6 @@ class ARCVAETrainer:
         for name, s in loaded["opt_states"].items():
             self.opt_states[name] = s
         if self.mesh is not None:
-            from mlx_vae_tpu.parallel.mesh import shard_params
             self.params = shard_params(self.mesh, self.params,
                                        model_parallel=self._gspmd)
             self.opt_states = shard_params(self.mesh, self.opt_states,

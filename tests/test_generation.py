@@ -94,11 +94,13 @@ def test_validity_proxy():
 
 
 def test_fused_greedy_gate_tiers():
-    """Greedy fused-generation support is tiered (ops/pallas_decoder.py):
-    bit-parity envelope at H<=512 (dtype-independent n*H<=2048), and the
-    distributional tier at H>512 restricted to bf16 under the stochastic
-    VMEM ceiling (benchmarks/greedy_parity_probe.json). Gate logic is
-    backend-independent apart from the TPU check, which we bypass here."""
+    """Greedy fused-generation gate shape (ops/pallas_decoder.py): the
+    probed envelope at H<=512 (dtype-independent n*H<=2048), H>512
+    restricted to bf16 under the stochastic VMEM ceiling. The contract at
+    every admitted corner is DISTRIBUTIONAL — measured in
+    benchmarks/greedy_parity_probe.json; bit parity is a per-corner
+    accident, not a tier. Gate logic is backend-independent apart from
+    the TPU check, which we bypass here."""
     from unittest import mock
 
     import jax as _jax
@@ -111,7 +113,7 @@ def test_fused_greedy_gate_tiers():
         with mock.patch.object(_jax, "default_backend", return_value="tpu"):
             return pallas_generate_supported(cfg, 4096, greedy=greedy)
 
-    # bit-parity tier: dtype-independent n*H <= 2048 (ADVICE r2)
+    # H <= 512 envelope: dtype-independent n*H <= 2048 (ADVICE r2)
     assert gate(512, 4, "float32")
     assert gate(512, 4, "bfloat16")
     assert gate(256, 8, "float32")

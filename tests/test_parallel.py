@@ -296,6 +296,30 @@ def test_model_parallel_trainer_epoch_matches_single_device(tmp_path):
             np.testing.assert_allclose(m1[k], m2[k], rtol=5e-4, atol=1e-5)
 
 
+@requires_8
+def test_model_parallel_alone_is_pure_tp(tmp_path):
+    """``model_parallel=2`` WITHOUT ``data_parallel`` must build a pure
+    (1, 2) mesh over two devices — not silently data-shard the batch over
+    the remaining devices (code-review r3). A batch size indivisible by
+    the would-be data axis (24 % 4 != 0) must therefore be accepted."""
+    make_synthetic_dataset(n=96, vocab_size=24, max_length=12,
+                           path=str(tmp_path / "d.json"))
+    from mlx_vae_tpu.data.split import load_and_split
+    train_ds, _, _, _ = load_and_split(str(tmp_path / "d.json"))
+    mcfg = ModelConfig(vocab_size=24, embedding_dim=16, hidden_dim=32,
+                       latent_dim=8, num_conditions=1, num_layers=2)
+    tcfg = TrainConfig(epochs=1, batch_size=24, learning_rate=3e-3,
+                       model_parallel=2, data_parallel=False,
+                       true_loss_batches=1,
+                       checkpoint_dir=str(tmp_path / "ck"))
+    vae = ARCVAE(mcfg, jax.random.PRNGKey(5))
+    trainer = ARCVAETrainer(vae.params, mcfg, tcfg, train_ds, seed=123)
+    assert dict(trainer.mesh.shape) == {"data": 1, "model": 2}
+    assert len(trainer.mesh.devices.flatten()) == 2
+    m = trainer.train_epoch(0, 1, val_dataset=None)
+    assert np.isfinite(m["train_loss"])
+
+
 def test_model_parallel_rejects_pallas():
     """tp>1 + use_pallas is a configuration error (the fused kernels have
     no partitioning rule for model-sharded operands)."""

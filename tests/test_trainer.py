@@ -91,6 +91,21 @@ class TestTrainerE2E:
                 assert k in m
         assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
 
+    def test_true_loss_batches_zero_reports_neutral_zero(self, tiny_setup):
+        """``true_loss_batches=0`` disables the no-TF estimate; it must
+        report 0.0 (as before r3) — not +inf with a bogus mesh-sharding
+        diagnosis on a single device (code-review r3). The +inf sentinel
+        is reserved for the mesh dropping every partial batch."""
+        tmp, train_ds, val_ds, mcfg = tiny_setup
+        tcfg = TrainConfig(epochs=1, batch_size=32, learning_rate=3e-3,
+                           checkpoint_dir=str(tmp / "ckpt0"),
+                           true_loss_batches=0)
+        vae = ARCVAE(mcfg, jax.random.PRNGKey(0))
+        trainer = ARCVAETrainer(vae.params, mcfg, tcfg, train_ds)
+        m = trainer.train_epoch(0, 1, val_dataset=val_ds)
+        assert m["train_loss"] == 0.0
+        assert np.isfinite(m["val_loss"])
+
     def test_checkpoint_roundtrip_bit_exact(self, tiny_setup):
         tmp, train_ds, val_ds, mcfg = tiny_setup
         ckpt_dir = tmp / "ckpt2"
