@@ -172,7 +172,10 @@ def main():
     ap.add_argument("--batch_size", type=int, default=256)
     ap.add_argument("--seeds", default="67,68,69",
                     help="comma-separated seeds; each runs both modes")
-    ap.add_argument("--output", default="benchmarks/elbo_compare.json")
+    ap.add_argument("--output", default=None,
+                    help="results JSON path (default: "
+                         "benchmarks/elbo_compare.json for a fresh run; "
+                         "the --reanalyze input file for a reanalysis)")
     ap.add_argument("--reanalyze", default=None, metavar="JSON",
                     help="recompute analysis + plot from an existing "
                          "results file (no training)")
@@ -186,13 +189,17 @@ def main():
         args.molecules = prev["config"]["molecules"]
         args.batch_size = prev["config"]["batch_size"]
         seeds = prev["config"]["seeds"]
-        if args.output == ap.get_default("output"):
+        if args.output is None:
             # Reanalysis writes back to the file it read unless an output
-            # is named explicitly — the default would silently overwrite
-            # the committed canonical artifact with another run's data
-            # (code-review r3).
+            # is named explicitly — a benchmarks/elbo_compare.json default
+            # would silently overwrite the committed canonical artifact
+            # with another run's data. default=None (not the literal
+            # default path) so an EXPLICIT --output equal to the default
+            # still wins (code-review r3 ×2).
             args.output = args.reanalyze
     else:
+        if args.output is None:
+            args.output = "benchmarks/elbo_compare.json"
         seeds = [int(s) for s in args.seeds.split(",")]
 
         from mlx_vae_tpu.config import ModelConfig, TrainConfig

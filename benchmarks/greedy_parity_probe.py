@@ -1,16 +1,22 @@
 #!/usr/bin/env python3
-"""Greedy fused-generation parity probe at large H (VERDICT r2 item 5).
+"""Greedy fused-generation parity probe (VERDICT r2 item 5).
 
-Greedy sampling's tested contract is BIT parity between the fused kernel
-(`ops/pallas_decoder.py`) and the scan sampler (`models/sampling.py`). It
-holds on H <= 512; at H = 1024 the two paths sum 1024-element dot products
-in different orders, ~1-ulp logit differences flip argmax on near-ties, and
-the token feedback loop amplifies one flip into a different suffix.
+Measures the agreement between the fused kernel (`ops/pallas_decoder.py`)
+and the scan sampler (`models/sampling.py`) under greedy (argmax) sampling,
+at corners spanning the gate's admitted envelope in both dtypes. The two
+programs sum the same dot products in different orders, so ~1-ulp logit
+differences flip argmax on near-ties and the token feedback loop amplifies
+one flip into a different suffix; whether a given corner happens to agree
+bit-for-bit depends on whether XLA's reduction order for the scan path
+matches the kernel's — the committed JSON shows it held at some f32
+corners and at no bf16 corner, so the gate's contract is DISTRIBUTIONAL
+(>= 99% first-token agreement), not bitwise.
 
 This probe measures that story instead of asserting it, and tries to
-eliminate it: the kernel's `_ACC_CHUNK` hook forces an explicit sequential
-K-chunk accumulation order in every in-kernel dot. For each candidate order
-it reports, against the scan sampler on identical params/inputs:
+eliminate the flips: the kernel's `_ACC_CHUNK` hook forces an explicit
+sequential K-chunk accumulation order in every in-kernel dot. For each
+candidate order it reports, against the scan sampler on identical
+params/inputs:
 
 * first-token agreement (pure logit numerics — no feedback yet),
 * full-row agreement and mean first-divergence step,
@@ -116,20 +122,27 @@ def main():
     args = ap.parse_args()
 
     out = []
-    # Control: a proven-parity shape — the probe must report 100% here.
+    # Control: a measured-bit-parity shape — the probe must report 100%
+    # here (any regression below 100% on this row means the kernel or the
+    # scan path changed, not just reduction-order noise).
     print("control H=256/2L float32:", flush=True)
     out.append(probe_config(256, 2, "float32", args.batch, args.max_length,
                             [None]))
-    # The corners of the fused-greedy envelope (n*H<=2048 for H<=512) in
-    # both dtypes — the gate's tier claims are measured, not assumed
-    # (code-review r3): the H=256 rows establish where bit parity actually
-    # holds, the H>=384 rows where it degrades to distributional.
-    for h, n, dt in ((256, 2, "bfloat16"), (256, 8, "bfloat16"),
+    # Corners spanning the fused-greedy envelope (n*H<=2048 for H<=512,
+    # from its smallest admitted H to its largest n*H) in both dtypes —
+    # the gate's distributional claim is measured at every row, not
+    # assumed (code-review r3). Bit parity is a per-corner accident with
+    # no dtype-free H-threshold story: it held at f32 H=128/8L, H=256/2L,
+    # H=256/8L and H=512/2L but NOT at f32 H=384/3L or H=512/4L, and at
+    # no bf16 corner (the bf16 H=128/H=256 rows already disagree on some
+    # rows).
+    for h, n, dt in ((128, 8, "float32"), (128, 8, "bfloat16"),
+                     (256, 2, "bfloat16"), (256, 8, "bfloat16"),
                      (384, 3, "float32"), (384, 3, "bfloat16"),
                      (512, 2, "float32"), (512, 2, "bfloat16"),
                      (512, 4, "float32"), (512, 4, "bfloat16"),
                      (256, 8, "float32")):
-        print(f"tier-corner H={h}/{n}L {dt}:", flush=True)
+        print(f"envelope-corner H={h}/{n}L {dt}:", flush=True)
         out.append(probe_config(h, n, dt, args.batch, args.max_length,
                                 [None]))
     # The scaled config, all candidate accumulation orders.

@@ -78,9 +78,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Tensor-parallel degree: shard embedding/fc_out/"
                              "LSTM gate matrices over a 'model' mesh axis. "
                              "Alone: a pure (1, N) mesh over the first N "
-                             "devices; with --data_parallel: the remaining "
-                             "devices form the data axis. Implies the GSPMD "
-                             "step path and disables --use_pallas")
+                             "devices; with --data_parallel: an "
+                             "(n_devices/N, N) mesh — the data axis is "
+                             "n_devices/N wide. Implies the GSPMD step path "
+                             "and disables --use_pallas")
     parser.add_argument("--steps_per_dispatch", type=int, default=1,
                         help="Fuse K optimizer steps into one dispatched program")
     parser.add_argument("--host_data", action="store_true",

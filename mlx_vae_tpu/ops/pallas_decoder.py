@@ -13,13 +13,14 @@ per-step HLO loop overhead and all HBM round-trips for the recurrent state;
 the only HBM traffic is one ``[1, BB]`` token row per step.
 
 Replaces (capability-wise) the reference's per-token Python sampling loop
-``/root/reference/models/decoder_sampling.py:85-123``. Only the ``greedy``
-path is bit-comparable to the scan sampler (the stochastic path uses the
-Mosaic PRNG instead of ``jax.random``). Supports 1-8 stacked layers with
-lane-padded vocab/feature dims. The support gate is sampling-mode-aware:
-greedy runs on the bit-parity-proven shapes (H<=512), stochastic up to
-H=1024 bf16 (``pallas_generate_supported``); other shapes fall back to the
-scan sampler.
+``/root/reference/models/decoder_sampling.py:85-123``. Supports 1-8 stacked
+layers with lane-padded vocab/feature dims. The support gate is
+sampling-mode-aware (``pallas_generate_supported``): greedy runs under a
+measured DISTRIBUTIONAL contract vs the scan sampler (bit parity is a
+per-corner accident, not a tier — see the gate comment and
+``benchmarks/greedy_parity_probe.json``); stochastic (Mosaic PRNG, not
+bit-comparable to ``jax.random`` by construction) runs up to H=1024 bf16.
+Other shapes fall back to the scan sampler.
 """
 
 from __future__ import annotations
@@ -60,21 +61,23 @@ def _gen_resident_bytes(cfg) -> int:
 
 def pallas_generate_supported(cfg: ModelConfig, batch: int,
                               greedy: bool = True) -> bool:
-    # Greedy contract is DISTRIBUTIONAL, not bitwise (measured at every
-    # admitted envelope corner: benchmarks/greedy_parity_probe.py ->
+    # Greedy contract is DISTRIBUTIONAL, not bitwise (measured at 13
+    # corners spanning the admitted envelope, from its smallest H to its
+    # largest n*H, both dtypes: benchmarks/greedy_parity_probe.py ->
     # greedy_parity_probe.json, v5e, B=512/L=64 — code-review r3
     # downgraded the former "bit-parity tier" claim to what the probe
     # actually shows):
     #
-    # * All 11 probed corners agree with the scan sampler on >= 99.0% of
+    # * All 13 probed corners agree with the scan sampler on >= 99.0% of
     #   first tokens and >= 97.0% of full rows; disagreeing rows flip
     #   argmax exactly where the top-2 logit margin is tiny (e.g. at
     #   H=1024/4L bf16 the 0.39% of rows with margin < 1e-5 are precisely
     #   the flips) and the token feedback then diverges the suffix.
     # * Exact BIT parity is a per-corner measurement, not a tier: it held
-    #   at the f32 corners H=256/2L, H=256/8L and H=512/2L (100.00% rows),
-    #   but NOT at f32 H=384/3L or H=512/4L (99.80%) and at NO bf16 corner
-    #   (H=256/2L bf16: 99.22%) — parity depends on whether XLA's chosen
+    #   at the f32 corners H=128/8L, H=256/2L, H=256/8L and H=512/2L
+    #   (100.00% rows), but NOT at f32 H=384/3L or H=512/4L (99.80%) and
+    #   at NO bf16 corner (H=128/8L bf16: 98.83%; H=256/2L bf16: 99.22%)
+    #   — parity depends on whether XLA's chosen
     #   reduction order for the scan path happens to match the kernel's,
     #   which no shape/dtype formula predicts. Forcing explicit sequential
     #   K-chunk accumulation orders in-kernel (512/256/128, _ACC_CHUNK
