@@ -27,6 +27,7 @@ from __future__ import annotations
 import argparse
 import itertools
 import json
+import os
 import sys
 import tempfile
 from pathlib import Path
@@ -241,8 +242,14 @@ def main():
                    "batch_size": args.batch_size, "seeds": seeds},
     }
     Path(args.output).parent.mkdir(parents=True, exist_ok=True)
-    with open(args.output, "w") as fo:
+    # Atomic replace: --reanalyze defaults to rewriting its own INPUT in
+    # place, and the training curves inside are hours of TPU time — a
+    # truncated in-place open('w') on interrupt would destroy the only
+    # copy (code-review r3).
+    tmp = args.output + ".tmp"
+    with open(tmp, "w") as fo:
         json.dump(out, fo, indent=2)
+    os.replace(tmp, args.output)
 
     pw = analysis["post_warmup"]
     print(f"\npost-warmup (epochs {warm}-{args.epochs}):")

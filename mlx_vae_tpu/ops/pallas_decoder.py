@@ -104,7 +104,12 @@ def pallas_generate_supported(cfg: ModelConfig, batch: int,
     ):
         return False
     if greedy and cfg.hidden_dim <= 512:
-        return cfg.num_layers * cfg.hidden_dim <= 2048  # probed envelope
+        if cfg.num_layers * cfg.hidden_dim > 2048:  # probed envelope
+            return False
+        # fall through: greedy shapes must ALSO fit the measured VMEM
+        # resident budget below — a large vocab/embedding can push even an
+        # in-envelope H/n over it (code-review r3: this early path used to
+        # skip the check and admit un-compilable resident sets).
     if cfg.hidden_dim > 512:
         # Every measured/validated large-H config is bf16; f32 doubles the
         # resident set into the raised-vmem-limit regime whose compiles

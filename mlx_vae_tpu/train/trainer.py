@@ -195,9 +195,20 @@ class ARCVAETrainer:
     def compute_teacher_forcing_ratio(self, epoch: int, total_epochs: int) -> float:
         return self.tcfg.compute_teacher_forcing_ratio(epoch, total_epochs)
 
+    @property
+    def _drop_partial(self) -> bool:
+        """Partial batches are dropped only when the batch axis is actually
+        SPLIT over devices (data axis > 1) — an indivisible remainder cannot
+        shard. A pure-TP mesh (data axis == 1, --model_parallel alone)
+        shards parameters, not the batch, so any batch size is valid and
+        trailing partial batches run exactly as on a single device
+        (code-review r3: dropping them starved small val splits to the
+        +inf sentinel and checkpoint_best was never written)."""
+        return self.mesh is not None and self.mesh.shape["data"] > 1
+
     def _batches(self, dataset, shuffle: bool, drop_last: Optional[bool] = None):
         if drop_last is None:
-            drop_last = self.mesh is not None
+            drop_last = self._drop_partial
         it = dataset.to_batches(self.batch_size, shuffle=shuffle,
                                 rng=self._shuffle_rng if shuffle else None,
                                 drop_last=drop_last)
@@ -248,11 +259,12 @@ class ARCVAETrainer:
     def _index_batches(self, dataset, shuffle: bool):
         """Index-array counterpart of ``_batches`` (device-resident feed);
         consumes the SAME shuffle RNG, so batch composition is identical.
-        Under a mesh partial batches are dropped (they cannot shard)."""
+        When the batch axis is split over devices, partial batches are
+        dropped (they cannot shard; see ``_drop_partial``)."""
         return dataset.to_index_batches(
             self.batch_size, shuffle=shuffle,
             rng=self._shuffle_rng if shuffle else None,
-            drop_last=self.mesh is not None)
+            drop_last=self._drop_partial)
 
     def _put_idx(self, idx_np):
         """Index array -> device, sharded on 'data' under a mesh (the
@@ -499,6 +511,11 @@ class ARCVAETrainer:
     def _eval_batches(self, dataset, beta: float, max_batches: Optional[int],
                       desc: str) -> Dict[str, float]:
         sums = dict(loss=0.0, recon=0.0, kl=0.0, collapse=0.0, prop=0.0)
+        if max_batches is not None and max_batches <= 0:
+            # Explicitly disabled (e.g. true_loss_batches=0) — neutral
+            # zeros, before any corpus upload or dispatch. Never feeds the
+            # is_best comparison (validation passes max_batches=None).
+            return sums
         n = 0
         beta_arr = jnp.float32(beta)
         tf_zero = jnp.float32(0.0)
@@ -549,12 +566,6 @@ class ARCVAETrainer:
             sums["prop"] += float(m["prop_loss"])
             n += 1
         if n == 0 and len(dataset) > 0:
-            if max_batches is not None and max_batches <= 0:
-                # Explicitly disabled (e.g. true_loss_batches=0) — not a
-                # sharding problem; report neutral zeros as before r3
-                # (never feeds the is_best comparison, which uses the
-                # max_batches=None validation path).
-                return {k: 0.0 for k in sums}
             # No full batch fit the mesh (partial batches cannot shard).
             # Report +inf loss, NOT 0.0: a zero val_loss would win the
             # is_best comparison and freeze checkpoint_best on untrained

@@ -108,8 +108,8 @@ def test_fused_greedy_gate_tiers():
     from mlx_vae_tpu.config import ModelConfig
     from mlx_vae_tpu.ops.pallas_decoder import pallas_generate_supported
 
-    def gate(h, n, dt, greedy=True):
-        cfg = ModelConfig(hidden_dim=h, num_layers=n, compute_dtype=dt)
+    def gate(h, n, dt, greedy=True, **kw):
+        cfg = ModelConfig(hidden_dim=h, num_layers=n, compute_dtype=dt, **kw)
         with mock.patch.object(_jax, "default_backend", return_value="tpu"):
             return pallas_generate_supported(cfg, 4096, greedy=greedy)
 
@@ -124,3 +124,10 @@ def test_fused_greedy_gate_tiers():
     assert gate(1024, 2, "bfloat16")
     assert not gate(1024, 4, "float32")    # f32 large-H never fused
     assert not gate(1024, 8, "bfloat16")   # resident set over 80MB
+
+    # the H<=512 greedy envelope must ALSO respect the VMEM resident
+    # budget — a huge vocab/embedding blows it even at a small H/n
+    # (code-review r3: the early return used to skip the check)
+    assert not gate(512, 2, "float32",
+                    vocab_size=50000, embedding_dim=512)  # ~212MB resident
+    assert gate(512, 2, "float32")          # default vocab still fused

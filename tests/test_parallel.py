@@ -301,11 +301,17 @@ def test_model_parallel_alone_is_pure_tp(tmp_path):
     """``model_parallel=2`` WITHOUT ``data_parallel`` must build a pure
     (1, 2) mesh over two devices — not silently data-shard the batch over
     the remaining devices (code-review r3). A batch size indivisible by
-    the would-be data axis (24 % 4 != 0) must therefore be accepted."""
+    the would-be data axis (24 % 4 != 0) must therefore be accepted, and
+    because the data axis is 1 (nothing splits the batch), PARTIAL batches
+    must run rather than be dropped: the 9-sample val split below is
+    smaller than batch_size, so dropping it would starve validation to the
+    +inf sentinel and checkpoint_best would never be written
+    (code-review r3 ×2)."""
     make_synthetic_dataset(n=96, vocab_size=24, max_length=12,
                            path=str(tmp_path / "d.json"))
     from mlx_vae_tpu.data.split import load_and_split
-    train_ds, _, _, _ = load_and_split(str(tmp_path / "d.json"))
+    train_ds, val_ds, _, _ = load_and_split(str(tmp_path / "d.json"))
+    assert 0 < len(val_ds) < 24  # the partial-batch-only split
     mcfg = ModelConfig(vocab_size=24, embedding_dim=16, hidden_dim=32,
                        latent_dim=8, num_conditions=1, num_layers=2)
     tcfg = TrainConfig(epochs=1, batch_size=24, learning_rate=3e-3,
@@ -316,8 +322,10 @@ def test_model_parallel_alone_is_pure_tp(tmp_path):
     trainer = ARCVAETrainer(vae.params, mcfg, tcfg, train_ds, seed=123)
     assert dict(trainer.mesh.shape) == {"data": 1, "model": 2}
     assert len(trainer.mesh.devices.flatten()) == 2
-    m = trainer.train_epoch(0, 1, val_dataset=None)
+    assert trainer._drop_partial is False
+    m = trainer.train_epoch(0, 1, val_dataset=val_ds)
     assert np.isfinite(m["train_loss"])
+    assert np.isfinite(m["val_loss"])  # partial val batch ran, not +inf
 
 
 def test_model_parallel_rejects_pallas():
