@@ -113,6 +113,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--eval_test", action="store_true",
                         help="Evaluate the held-out test split after training "
                              "(the reference builds the split but never uses it)")
+    parser.add_argument("--seed", type=int, default=67,
+                        help="Seed for model init, shuffling, TF masks, and "
+                             "reparameterization noise (reference fixes 67, "
+                             "train.py:75). The 80/10/10 data split always "
+                             "uses seed 67 — the reference's split is part "
+                             "of the public surface and does not move with "
+                             "this flag")
     return parser
 
 
@@ -224,6 +231,7 @@ def main(argv=None):
         model_parallel=args.model_parallel,
         steps_per_dispatch=args.steps_per_dispatch,
         host_data=args.host_data,
+        seed=args.seed,
     )
 
     print("\nCreating VAE model...")

@@ -265,3 +265,26 @@ class TestStepsPerDispatch:
             losses[k] = trainer.train_epoch(1, 2, val_dataset=None)["train_loss"]
         # same data, same init, same schedule; only PRNG batching differs
         assert abs(losses[1] - losses[4]) / losses[1] < 0.2
+
+    @pytest.mark.slow
+    def test_same_seed_reproduces_bitwise(self, tiny_setup):
+        """Trajectories are deterministic per (seed, steps_per_dispatch):
+        two fresh trainers with identical configs must produce bit-equal
+        epoch metrics — the claim examples/README.md makes of the committed
+        30-epoch artifact. (Different K consumes the PRNG differently and
+        lands on a different — equally valid — trajectory, covered by
+        ``test_k1_and_k4_train_similarly``.)"""
+        tmp, train_ds, val_ds, mcfg = tiny_setup
+        for k in (1, 2):
+            runs = []
+            for rep in range(2):
+                tcfg = TrainConfig(epochs=2, batch_size=32,
+                                   learning_rate=3e-3,
+                                   checkpoint_dir=str(tmp / f"ck_det{k}{rep}"),
+                                   true_loss_batches=3, steps_per_dispatch=k)
+                vae = ARCVAE(mcfg, jax.random.PRNGKey(13))
+                trainer = ARCVAETrainer(vae.params, mcfg, tcfg, train_ds)
+                ms = [trainer.train_epoch(e, 2, val_dataset=val_ds)
+                      for e in range(2)]
+                runs.append([(m["train_loss"], m["val_loss"]) for m in ms])
+            assert runs[0] == runs[1]  # bit-equal, not approx
