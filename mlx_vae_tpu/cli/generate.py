@@ -31,6 +31,15 @@ def build_parser():
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--greedy", action="store_true",
                    help="Argmax decoding (the reference's behavior)")
+    p.add_argument("--top_k", type=int, default=0,
+                   help="Sample only among the k most likely tokens per "
+                        "step (0 = disabled). Extension beyond the "
+                        "reference's temperature-only surface; runs the "
+                        "scan sampler")
+    p.add_argument("--top_p", type=float, default=1.0,
+                   help="Nucleus sampling: restrict each step to the "
+                        "smallest token set with cumulative probability "
+                        ">= top_p (1.0 = disabled); runs the scan sampler")
     p.add_argument("--target", type=float, nargs="+", default=[90.0],
                    help="Target property value(s), raw units (e.g. TPSA 90)")
     p.add_argument("--output", type=str, default="generated.json")
@@ -67,7 +76,7 @@ def infer_model_shape(dec_params: dict) -> dict:
 
 
 def make_generate_fn(mcfg, dec_params, use_fused, max_length, temperature,
-                     greedy, mesh=None):
+                     greedy, mesh=None, top_k=0, top_p=1.0):
     """Batch generator ``(z, cond, key) -> tokens [B, L]``.
 
     With a mesh, the batch axis is sharded over ``('data',)`` via
@@ -86,7 +95,8 @@ def make_generate_fn(mcfg, dec_params, use_fused, max_length, temperature,
         return generate_with_temperature(dec_params, mcfg, z, cond, kg,
                                          max_length=max_length,
                                          temperature=temperature,
-                                         greedy=greedy)
+                                         greedy=greedy,
+                                         top_k=top_k, top_p=top_p)
 
     if mesh is None:
         return jax.jit(local)
@@ -186,13 +196,15 @@ def main(argv=None):
     from mlx_vae_tpu.ops.pallas_decoder import pallas_generate_supported
     local_batch = args.batch_size // (mesh.shape["data"] if mesh else 1)
     use_fused = pallas_generate_supported(mcfg, local_batch,
-                                          greedy=args.greedy)
+                                          greedy=args.greedy,
+                                          top_k=args.top_k, top_p=args.top_p)
     if use_fused:
         print("Using fused Pallas generation kernel")
 
     gen_shard = make_generate_fn(mcfg, dec_params, use_fused,
                                  args.max_length, args.temperature,
-                                 args.greedy, mesh=mesh)
+                                 args.greedy, mesh=mesh,
+                                 top_k=args.top_k, top_p=args.top_p)
 
     def one_batch(key):
         kz, kg = jax.random.split(key)
@@ -239,6 +251,8 @@ def main(argv=None):
         "temperature": args.temperature,
         "target": args.target,
     }
+    if args.top_k or args.top_p < 1.0:
+        out["top_k"], out["top_p"] = args.top_k, args.top_p
     if alphabet:
         out["selfies"] = [decode_tokens(t, alphabet) for t in tokens[:1000]]
     with open(args.output, "w") as f:

@@ -41,11 +41,15 @@ def generate_with_temperature(
     max_length: int = 80,
     temperature=1.0,
     greedy: bool = False,
+    top_k: int = 0,
+    top_p: float = 1.0,
 ) -> jnp.ndarray:
     """Generate token sequences ``[B, max_length] int32``.
 
     ``params`` are decoder params (see ``models/decoder.py``). Rows that hit
     ``end_token`` keep the EOS in place and emit ``pad_token`` afterwards.
+    ``top_k``/``top_p`` truncate the per-step distribution (see
+    ``ops/sampling.py``); defaults are bitwise no-ops.
     """
     B = z.shape[0]
     cond_f = conditions.astype(jnp.float32)
@@ -64,7 +68,8 @@ def generate_with_temperature(
         x = jnp.concatenate([emb.astype(jnp.float32), cond_f], axis=1)
         out, h_new, c_new = _stacked_cell(params, cfg, x, h_in, c_in)
         logits = linear(params["fc_out"], out, cfg.dtype)
-        sampled = sample_logits(step_key, logits, temperature, greedy=greedy)
+        sampled = sample_logits(step_key, logits, temperature, greedy=greedy,
+                                top_k=top_k, top_p=top_p)
         token_out = jnp.where(ended, jnp.int32(cfg.pad_token), sampled)
         ended_new = ended | (token_out == cfg.end_token)
         return (h_new, c_new, token_out, ended_new), token_out

@@ -41,11 +41,14 @@ def vae_forward(params: dict, cfg: ModelConfig, x, conditions, key,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_length", "greedy"))
 def vae_generate(params: dict, cfg: ModelConfig, conditions, key,
-                 max_length: int = 80, temperature=1.0, greedy: bool = False):
+                 max_length: int = 80, temperature=1.0, greedy: bool = False,
+                 top_k: int = 0, top_p: float = 1.0):
     """Sample z ~ N(0, I) and decode (reference ``vae.py:101-131``).
 
     Uses the fused Pallas generation kernel on supported TPU shapes
-    (``ops/pallas_decoder.py``), the scan sampler otherwise.
+    (``ops/pallas_decoder.py``), the scan sampler otherwise. ``top_k`` /
+    ``top_p`` truncation (an extension beyond the reference's
+    temperature-only surface) always runs the scan sampler.
     """
     k_z, k_gen = jax.random.split(key)
     B = conditions.shape[0]
@@ -53,13 +56,15 @@ def vae_generate(params: dict, cfg: ModelConfig, conditions, key,
     if cfg.use_pallas:
         from mlx_vae_tpu.ops.pallas_decoder import (
             pallas_generate, pallas_generate_supported)
-        if pallas_generate_supported(cfg, B, greedy=greedy):
+        if pallas_generate_supported(cfg, B, greedy=greedy,
+                                     top_k=top_k, top_p=top_p):
             return pallas_generate(params["decoder"], cfg, z, conditions,
                                    k_gen, max_length=max_length,
                                    temperature=temperature, greedy=greedy)
     return generate_with_temperature(params["decoder"], cfg, z, conditions,
                                      k_gen, max_length=max_length,
-                                     temperature=temperature, greedy=greedy)
+                                     temperature=temperature, greedy=greedy,
+                                     top_k=top_k, top_p=top_p)
 
 
 class ARCVAE:
@@ -83,9 +88,10 @@ class ARCVAE:
 
     def generate(self, batch_size: int, conditions, key,
                  max_length: int = 80, temperature: float = 1.0,
-                 greedy: bool = False) -> jnp.ndarray:
+                 greedy: bool = False, top_k: int = 0,
+                 top_p: float = 1.0) -> jnp.ndarray:
         conditions = jnp.asarray(conditions, jnp.float32)
         assert conditions.shape[0] == batch_size
         return vae_generate(self.params, self.cfg, conditions, key,
                             max_length=max_length, temperature=temperature,
-                            greedy=greedy)
+                            greedy=greedy, top_k=top_k, top_p=top_p)

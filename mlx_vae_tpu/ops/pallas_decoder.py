@@ -60,7 +60,14 @@ def _gen_resident_bytes(cfg) -> int:
 
 
 def pallas_generate_supported(cfg: ModelConfig, batch: int,
-                              greedy: bool = True) -> bool:
+                              greedy: bool = True, top_k: int = 0,
+                              top_p: float = 1.0) -> bool:
+    # Truncated sampling (top-k / nucleus) is a scan-sampler-only
+    # extension: the in-kernel sampler implements temperature/Gumbel and
+    # argmax, not per-step sort/top-k of the vocab row. Requesting it
+    # routes to the scan path.
+    if (top_k and top_k > 0) or top_p < 1.0:
+        return False
     # Greedy contract is DISTRIBUTIONAL, not bitwise (measured at 13
     # corners spanning the admitted envelope, from its smallest H to its
     # largest n*H, both dtypes: benchmarks/greedy_parity_probe.py ->

@@ -16,12 +16,36 @@ import jax.numpy as jnp
 
 
 def sample_logits(key, logits: jnp.ndarray, temperature: float | jnp.ndarray = 1.0,
-                  greedy: bool = False) -> jnp.ndarray:
+                  greedy: bool = False, top_k: int = 0,
+                  top_p: float = 1.0) -> jnp.ndarray:
     """Sample token ids ``[...,]`` from ``logits [..., V]``.
 
-    ``greedy`` is a Python bool (static under jit): the reference path.
+    ``greedy``, ``top_k`` and ``top_p`` are Python values (static under
+    jit); the defaults (``0`` / ``1.0``) trace the exact same program as
+    before they existed, so they are bitwise no-ops. Truncation is an
+    extension beyond the reference's temperature-only surface:
+
+    * ``top_k > 0``: restrict sampling to the ``k`` highest logits
+      (after temperature scaling).
+    * ``top_p < 1.0``: nucleus sampling — restrict to the smallest set of
+      tokens whose cumulative probability reaches ``top_p`` (the token
+      that crosses the threshold is kept, so the set is never empty).
+
+    Both applied together intersect (the usual top-k-then-top-p order).
     """
     if greedy:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     scaled = logits / jnp.maximum(jnp.asarray(temperature, logits.dtype), 1e-6)
+    if top_k and top_k > 0 and top_k < logits.shape[-1]:
+        kth = jax.lax.top_k(scaled, top_k)[0][..., -1:]
+        scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+    if top_p < 1.0:
+        desc = jnp.flip(jnp.sort(scaled, axis=-1), axis=-1)
+        probs = jax.nn.softmax(desc, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep tokens whose cumulative mass *before* them is < top_p; the
+        # crossing token is therefore included and the set is non-empty.
+        kept = cum - probs < top_p
+        cutoff = jnp.min(jnp.where(kept, desc, jnp.inf), axis=-1, keepdims=True)
+        scaled = jnp.where(scaled < cutoff, -jnp.inf, scaled)
     return jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)

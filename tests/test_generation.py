@@ -93,6 +93,96 @@ def test_validity_proxy():
     assert selfies_validity(bad, []) == 0.0
 
 
+class TestTruncatedSampling:
+    """top-k / top-p (nucleus) sampling — an extension beyond the
+    reference's temperature-only surface (decoder_sampling.py:110-117)."""
+
+    def test_top_k_restricts_support(self):
+        logits = jax.random.normal(jax.random.PRNGKey(0), (2000, 12))
+        toks = np.asarray(sample_logits(jax.random.PRNGKey(1), logits,
+                                        temperature=2.0, top_k=3))
+        top3 = np.asarray(jax.lax.top_k(logits, 3)[1])
+        assert all(t in row for t, row in zip(toks, top3))
+        # k >= vocab is a no-op
+        full = sample_logits(jax.random.PRNGKey(1), logits, temperature=2.0)
+        wide = sample_logits(jax.random.PRNGKey(1), logits, temperature=2.0,
+                             top_k=12)
+        np.testing.assert_array_equal(np.asarray(full), np.asarray(wide))
+
+    def test_top_k_one_is_argmax(self):
+        logits = jax.random.normal(jax.random.PRNGKey(2), (512, 9))
+        one = sample_logits(jax.random.PRNGKey(3), logits, temperature=4.0,
+                            top_k=1)
+        np.testing.assert_array_equal(
+            np.asarray(one), np.asarray(jnp.argmax(logits, -1)))
+
+    def test_top_p_restricts_to_nucleus(self):
+        # p(token) = [0.5, 0.3, 0.15, 0.05]: top_p=0.8 keeps {0, 1} (the
+        # crossing token is included), 0.81 keeps {0, 1, 2}.
+        logits = jnp.log(jnp.asarray([[0.5, 0.3, 0.15, 0.05]])).repeat(4000, 0)
+        toks = np.asarray(sample_logits(jax.random.PRNGKey(4), logits,
+                                        top_p=0.8))
+        assert set(np.unique(toks)) == {0, 1}
+        toks3 = np.asarray(sample_logits(jax.random.PRNGKey(4), logits,
+                                         top_p=0.81))
+        assert set(np.unique(toks3)) == {0, 1, 2}
+        # renormalized ratios inside the nucleus are preserved (0.5/0.3)
+        frac0 = float((toks == 0).mean())
+        assert 0.57 < frac0 < 0.68  # 0.5/0.8 = 0.625
+        # a tiny p always keeps exactly the argmax
+        tiny = np.asarray(sample_logits(jax.random.PRNGKey(5), logits,
+                                        top_p=1e-6))
+        assert set(np.unique(tiny)) == {0}
+
+    def test_defaults_are_bitwise_noops(self):
+        logits = jax.random.normal(jax.random.PRNGKey(6), (256, 20))
+        k = jax.random.PRNGKey(7)
+        base = sample_logits(k, logits, temperature=1.3)
+        explicit = sample_logits(k, logits, temperature=1.3, top_k=0,
+                                 top_p=1.0)
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(explicit))
+
+    def test_top_k_and_top_p_intersect(self):
+        # top_k=2 keeps {0, 1}; top_p then renormalizes over the truncated
+        # row (p = [0.571, 0.429]): p=0.39 keeps only the crossing argmax
+        # token {0}, p=0.95 keeps both.
+        logits = jnp.log(jnp.asarray([[0.4, 0.3, 0.2, 0.1]])).repeat(2000, 0)
+        toks = np.asarray(sample_logits(jax.random.PRNGKey(8), logits,
+                                        top_k=2, top_p=0.39))
+        assert set(np.unique(toks)) == {0}
+        toks2 = np.asarray(sample_logits(jax.random.PRNGKey(8), logits,
+                                         top_k=2, top_p=0.95))
+        assert set(np.unique(toks2)) == {0, 1}
+
+    def test_generate_top_k_one_matches_greedy(self, tiny_cfg):
+        """Full AR rollout: top_k=1 leaves exactly one unmasked token per
+        step, so the sampled trajectory must be bit-equal to greedy."""
+        params, z, cond = _setup(tiny_cfg)
+        g = generate_with_temperature(params, tiny_cfg, z, cond,
+                                      jax.random.PRNGKey(9), max_length=20,
+                                      greedy=True)
+        k1 = generate_with_temperature(params, tiny_cfg, z, cond,
+                                       jax.random.PRNGKey(10), max_length=20,
+                                       temperature=2.0, top_k=1)
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(k1))
+
+    def test_truncation_routes_to_scan_sampler(self):
+        """The fused kernel has no in-kernel top-k/top-p; the gate must
+        refuse shapes it would otherwise admit."""
+        from unittest import mock
+
+        from mlx_vae_tpu.ops.pallas_decoder import pallas_generate_supported
+
+        cfg = ModelConfig(hidden_dim=256, num_layers=2,
+                          compute_dtype="float32")
+        with mock.patch.object(jax, "default_backend", return_value="tpu"):
+            assert pallas_generate_supported(cfg, 4096, greedy=False)
+            assert not pallas_generate_supported(cfg, 4096, greedy=False,
+                                                 top_k=5)
+            assert not pallas_generate_supported(cfg, 4096, greedy=False,
+                                                 top_p=0.9)
+
+
 def test_fused_greedy_gate_tiers():
     """Greedy fused-generation gate shape (ops/pallas_decoder.py): the
     probed envelope at H<=512 (dtype-independent n*H<=2048), H>512
