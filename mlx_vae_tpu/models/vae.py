@@ -39,7 +39,8 @@ def vae_forward(params: dict, cfg: ModelConfig, x, conditions, key,
     return logits, mu, logvar, z
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "max_length", "greedy"))
+@functools.partial(jax.jit, static_argnames=("cfg", "max_length", "greedy",
+                                             "top_k", "top_p"))
 def vae_generate(params: dict, cfg: ModelConfig, conditions, key,
                  max_length: int = 80, temperature=1.0, greedy: bool = False,
                  top_k: int = 0, top_p: float = 1.0):

@@ -144,6 +144,17 @@ class TestFacade:
         assert toks.shape == (6, 12)
         assert toks.dtype == jnp.int32
 
+    def test_generate_truncation_through_jit(self, tiny_cfg, key):
+        """top_k/top_p must be jit-static on vae_generate: nonzero values
+        reach Python `if`s inside sample_logits (regression: passing them
+        traced raised TracerBoolConversionError even at the defaults)."""
+        vae = ARCVAE(tiny_cfg, key)
+        cond = jnp.zeros((6, tiny_cfg.num_conditions))
+        toks = vae.generate(6, cond, jax.random.PRNGKey(3), max_length=12,
+                            temperature=1.5, top_k=4, top_p=0.9)
+        assert toks.shape == (6, 12)
+        assert toks.dtype == jnp.int32
+
 
 class TestBidirectional:
     def test_shapes_and_direction_sensitivity(self, key):
