@@ -119,7 +119,12 @@ def main(argv=None):
     from mlx_vae_tpu.data.prepare import selfies_validity, decode_tokens
     from mlx_vae_tpu.train.checkpoint import load_checkpoint
 
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.top_k < 0:
+        parser.error(f"--top_k must be >= 0 (0 disables), got {args.top_k}")
+    if not 0.0 < args.top_p <= 1.0:
+        parser.error(f"--top_p must be in (0, 1] (1.0 disables), got {args.top_p}")
 
     ckpt = load_checkpoint(args.checkpoint)
     dec_params = ckpt["params"]["decoder"]

@@ -32,7 +32,13 @@ def sample_logits(key, logits: jnp.ndarray, temperature: float | jnp.ndarray = 1
       that crosses the threshold is kept, so the set is never empty).
 
     Both applied together intersect (the usual top-k-then-top-p order).
+    Valid ranges (checked host-side — the values are static): ``top_k >= 0``
+    and ``0 < top_p <= 1``; ``top_p = 0`` would leave an empty support set.
     """
+    if top_k < 0:
+        raise ValueError(f"top_k must be >= 0 (0 disables), got {top_k}")
+    if not 0.0 < top_p <= 1.0:
+        raise ValueError(f"top_p must be in (0, 1] (1.0 disables), got {top_p}")
     if greedy:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     scaled = logits / jnp.maximum(jnp.asarray(temperature, logits.dtype), 1e-6)

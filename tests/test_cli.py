@@ -119,6 +119,17 @@ def test_generate_cli_errors_without_stats(tmp_path):
     assert (tmp_path / "g.json").exists()
 
 
+def test_generate_cli_rejects_invalid_truncation_flags(tmp_path):
+    """Out-of-range --top_k/--top_p must die at argparse, before any
+    checkpoint load or device work (top_p=0 would empty the support set)."""
+    from mlx_vae_tpu.cli.generate import main as gen_main
+
+    for flags in (["--top_k", "-1"], ["--top_p", "0.0"], ["--top_p", "1.5"]):
+        with pytest.raises(SystemExit):
+            gen_main(["--checkpoint", str(tmp_path / "absent.npz"),
+                      "--num_molecules", "16"] + flags)
+
+
 @pytest.mark.slow
 def test_generate_cli_infers_shape_from_checkpoint(tmp_path, monkeypatch):
     """Model dims default to the checkpoint's parameter shapes; an explicit

@@ -134,6 +134,20 @@ class TestTruncatedSampling:
                                         top_p=1e-6))
         assert set(np.unique(tiny)) == {0}
 
+    def test_invalid_ranges_raise(self):
+        """top_p = 0 would leave an empty support set (every token masked
+        to -inf); negative top_k is always a caller bug. Both are static
+        Python values, so they must fail fast host-side."""
+        import pytest
+
+        logits = jnp.zeros((4, 8))
+        with pytest.raises(ValueError, match="top_p"):
+            sample_logits(jax.random.PRNGKey(0), logits, top_p=0.0)
+        with pytest.raises(ValueError, match="top_p"):
+            sample_logits(jax.random.PRNGKey(0), logits, top_p=1.5)
+        with pytest.raises(ValueError, match="top_k"):
+            sample_logits(jax.random.PRNGKey(0), logits, top_k=-1)
+
     def test_defaults_are_bitwise_noops(self):
         logits = jax.random.normal(jax.random.PRNGKey(6), (256, 20))
         k = jax.random.PRNGKey(7)
