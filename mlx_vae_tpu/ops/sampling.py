@@ -15,6 +15,32 @@ import jax
 import jax.numpy as jnp
 
 
+def truncate_logits(scaled: jnp.ndarray, top_k: int = 0,
+                    top_p: float = 1.0) -> jnp.ndarray:
+    """Mask ``scaled [..., V]`` outside the top-k / nucleus support to -inf.
+
+    ``top_k``/``top_p`` are static Python values; the defaults return the
+    input unchanged (no ops traced). Nucleus keeps the smallest
+    descending-probability prefix whose cumulative mass reaches ``top_p``
+    (the crossing token is included, so the set is never empty); both
+    filters together intersect. Factored out of :func:`sample_logits` so
+    the kept-set can be oracle-checked directly.
+    """
+    if top_k and top_k > 0 and top_k < scaled.shape[-1]:
+        kth = jax.lax.top_k(scaled, top_k)[0][..., -1:]
+        scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+    if top_p < 1.0:
+        desc = jnp.flip(jnp.sort(scaled, axis=-1), axis=-1)
+        probs = jax.nn.softmax(desc, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep tokens whose cumulative mass *before* them is < top_p; the
+        # crossing token is therefore included and the set is non-empty.
+        kept = cum - probs < top_p
+        cutoff = jnp.min(jnp.where(kept, desc, jnp.inf), axis=-1, keepdims=True)
+        scaled = jnp.where(scaled < cutoff, -jnp.inf, scaled)
+    return scaled
+
+
 def sample_logits(key, logits: jnp.ndarray, temperature: float | jnp.ndarray = 1.0,
                   greedy: bool = False, top_k: int = 0,
                   top_p: float = 1.0) -> jnp.ndarray:
@@ -42,16 +68,5 @@ def sample_logits(key, logits: jnp.ndarray, temperature: float | jnp.ndarray = 1
     if greedy:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     scaled = logits / jnp.maximum(jnp.asarray(temperature, logits.dtype), 1e-6)
-    if top_k and top_k > 0 and top_k < logits.shape[-1]:
-        kth = jax.lax.top_k(scaled, top_k)[0][..., -1:]
-        scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
-    if top_p < 1.0:
-        desc = jnp.flip(jnp.sort(scaled, axis=-1), axis=-1)
-        probs = jax.nn.softmax(desc, axis=-1)
-        cum = jnp.cumsum(probs, axis=-1)
-        # keep tokens whose cumulative mass *before* them is < top_p; the
-        # crossing token is therefore included and the set is non-empty.
-        kept = cum - probs < top_p
-        cutoff = jnp.min(jnp.where(kept, desc, jnp.inf), axis=-1, keepdims=True)
-        scaled = jnp.where(scaled < cutoff, -jnp.inf, scaled)
+    scaled = truncate_logits(scaled, top_k=top_k, top_p=top_p)
     return jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)

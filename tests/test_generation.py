@@ -134,6 +134,46 @@ class TestTruncatedSampling:
                                         top_p=1e-6))
         assert set(np.unique(tiny)) == {0}
 
+    def test_kept_set_matches_numpy_oracle(self):
+        """Randomized sweep of the truncation mask against an independent
+        numpy re-derivation of the spec (sort desc -> softmax -> cumsum ->
+        keep the prefix through the crossing token; top-k keeps the k
+        largest; both intersect). Gaussian logits, so ties are
+        measure-zero and the kept sets must match exactly."""
+        from mlx_vae_tpu.ops.sampling import truncate_logits
+
+        rng = np.random.default_rng(42)
+        for trial in range(40):
+            V = int(rng.integers(2, 90))
+            B = int(rng.integers(1, 8))
+            logits = rng.standard_normal((B, V)).astype(np.float32)
+            top_k = int(rng.integers(0, V + 2))       # 0 and >V = disabled
+            top_p = float(rng.uniform(0.05, 1.0)) if rng.random() < 0.8 else 1.0
+
+            keep = np.ones((B, V), bool)
+            if 0 < top_k < V:
+                kth = np.sort(logits, axis=-1)[:, -top_k][:, None]
+                keep &= logits >= kth
+            if top_p < 1.0:
+                masked = np.where(keep, logits, -np.inf)
+                order = np.argsort(-masked, axis=-1)
+                desc = np.take_along_axis(masked, order, axis=-1)
+                e = np.exp(desc - desc.max(axis=-1, keepdims=True))
+                probs = e / e.sum(axis=-1, keepdims=True)
+                cum = np.cumsum(probs, axis=-1)
+                kept_sorted = (cum - probs) < top_p
+                nuc = np.zeros((B, V), bool)
+                np.put_along_axis(nuc, order, kept_sorted, axis=-1)
+                keep &= nuc
+
+            out = np.asarray(truncate_logits(jnp.asarray(logits),
+                                             top_k=top_k, top_p=top_p))
+            np.testing.assert_array_equal(
+                np.isfinite(out), keep,
+                err_msg=f"trial={trial} V={V} top_k={top_k} top_p={top_p}")
+            # surviving logits pass through unchanged
+            np.testing.assert_array_equal(out[keep], logits[keep])
+
     def test_invalid_ranges_raise(self):
         """top_p = 0 would leave an empty support set (every token masked
         to -inf); negative top_k is always a caller bug. Both are static
