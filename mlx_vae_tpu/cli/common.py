@@ -1,0 +1,62 @@
+"""Shared CLI plumbing for checkpoint-driven tools (generate / optimize).
+
+Property-stat resolution order (same contract as training: the model only
+ever saw z-scored conditions, so raw user targets must be normalized by the
+TRAIN-set stats): an explicit ``--data`` JSON wins, else the stats embedded
+in the checkpoint at save time (``train/checkpoint.py``), else hard error
+unless the user explicitly opts out with ``--no_normalize``.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+
+def resolve_property_stats(data_path, no_normalize: bool, ckpt: dict,
+                           num_conditions: int):
+    """Return ``(mean [1,C], std [1,C], alphabet or None)``."""
+    mean = std = None
+    stats = ckpt.get("data_stats") or {}
+    alphabet = stats.get("alphabet")
+    if data_path:
+        if not Path(data_path).exists():
+            raise FileNotFoundError(f"--data {data_path} does not exist")
+        from mlx_vae_tpu.data.split import load_and_split
+        train_ds, _, _, data = load_and_split(
+            data_path,
+            property_keys=tuple(["tpsa", "logp", "mw"][:num_conditions]))
+        mean, std = train_ds.properties_mean, train_ds.properties_std
+        alphabet = data.get("alphabet") or alphabet
+    elif stats.get("properties_mean") is not None:
+        mean = np.asarray(stats["properties_mean"], np.float32).reshape(1, -1)
+        std = np.asarray(stats["properties_std"], np.float32).reshape(1, -1)
+        print(f"Using property stats from checkpoint: mean={mean.flatten()} "
+              f"std={std.flatten()}")
+
+    if mean is None:
+        if not no_normalize:
+            raise SystemExit(
+                "ERROR: no property normalization stats available — the "
+                "checkpoint predates stats embedding and --data was not "
+                "given. Raw --target values would silently mis-condition "
+                "generation. Pass --data <train json>, or --no_normalize "
+                "to send targets to the model unscaled.")
+        print("WARNING: --no_normalize set; feeding raw --target values "
+              "to the model without z-scoring.")
+        mean = np.zeros((1, num_conditions), np.float32)
+        std = np.ones((1, num_conditions), np.float32)
+    return mean, std, alphabet
+
+
+def normalized_targets(raw_targets, mean, std, num_conditions: int):
+    """Validate count and z-score the raw CLI targets to ``[1, C]``."""
+    if len(raw_targets) != num_conditions:
+        raise SystemExit(
+            f"ERROR: --target has {len(raw_targets)} value(s) but the "
+            f"checkpoint was trained with num_conditions="
+            f"{num_conditions} — pass exactly one target per "
+            f"condition (training order, e.g. tpsa,logp,mw) so each "
+            f"property is conditioned on its own value.")
+    return (np.asarray(raw_targets, np.float32)[None, :] - mean) / std

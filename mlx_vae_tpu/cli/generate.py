@@ -12,7 +12,6 @@ from __future__ import annotations
 import argparse
 import json
 import time
-from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -140,47 +139,11 @@ def main(argv=None):
 
     # Normalize the raw target properties with the train-set stats. The model
     # was trained on z-scored conditions, so feeding raw targets (e.g. TPSA
-    # 90) silently mis-conditions generation — stats come from --data, or
-    # from the checkpoint (saved at train time), and their absence is an
-    # error unless --no_normalize explicitly opts out.
-    mean = std = None
-    stats = ckpt.get("data_stats") or {}
-    alphabet = stats.get("alphabet")
-    if args.data:
-        if not Path(args.data).exists():
-            raise FileNotFoundError(f"--data {args.data} does not exist")
-        from mlx_vae_tpu.data.split import load_and_split
-        train_ds, _, _, data = load_and_split(
-            args.data, property_keys=tuple(["tpsa", "logp", "mw"][: mcfg.num_conditions]))
-        mean, std = train_ds.properties_mean, train_ds.properties_std
-        alphabet = data.get("alphabet") or alphabet
-    elif stats.get("properties_mean") is not None:
-        mean = np.asarray(stats["properties_mean"], np.float32).reshape(1, -1)
-        std = np.asarray(stats["properties_std"], np.float32).reshape(1, -1)
-        print(f"Using property stats from checkpoint: mean={mean.flatten()} "
-              f"std={std.flatten()}")
-
-    if mean is None:
-        if not args.no_normalize:
-            raise SystemExit(
-                "ERROR: no property normalization stats available — the "
-                "checkpoint predates stats embedding and --data was not "
-                "given. Raw --target values would silently mis-condition "
-                "generation. Pass --data <train json>, or --no_normalize "
-                "to send targets to the model unscaled.")
-        print("WARNING: --no_normalize set; feeding raw --target values "
-              "to the model without z-scoring.")
-        mean = np.zeros((1, mcfg.num_conditions), np.float32)
-        std = np.ones((1, mcfg.num_conditions), np.float32)
-
-    if len(args.target) != mcfg.num_conditions:
-        raise SystemExit(
-            f"ERROR: --target has {len(args.target)} value(s) but the "
-            f"checkpoint was trained with num_conditions="
-            f"{mcfg.num_conditions} — pass exactly one target per "
-            f"condition (training order, e.g. tpsa,logp,mw) so each "
-            f"property is conditioned on its own value.")
-    target = (np.asarray(args.target, np.float32)[None, :] - mean) / std
+    # 90) silently mis-conditions generation — see ``cli/common.py``.
+    from mlx_vae_tpu.cli.common import normalized_targets, resolve_property_stats
+    mean, std, alphabet = resolve_property_stats(
+        args.data, args.no_normalize, ckpt, mcfg.num_conditions)
+    target = normalized_targets(args.target, mean, std, mcfg.num_conditions)
 
     key = jax.random.PRNGKey(0)
     cond = jnp.broadcast_to(jnp.asarray(target),

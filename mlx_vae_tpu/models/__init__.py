@@ -10,6 +10,7 @@ from mlx_vae_tpu.models.decoder import (
 )
 from mlx_vae_tpu.models.sampling import generate_with_temperature
 from mlx_vae_tpu.models.predictor import init_predictor_params, predictor_apply
+from mlx_vae_tpu.models.latent_opt import latent_objective, optimize_latent
 from mlx_vae_tpu.models.vae import ARCVAE
 
 __all__ = [
@@ -22,5 +23,7 @@ __all__ = [
     "generate_with_temperature",
     "init_predictor_params",
     "predictor_apply",
+    "latent_objective",
+    "optimize_latent",
     "ARCVAE",
 ]
