@@ -16,8 +16,13 @@ import numpy as np
 
 def resolve_property_stats(data_path, no_normalize: bool, ckpt: dict,
                            num_conditions: int):
-    """Return ``(mean [1,C], std [1,C], alphabet or None)``."""
+    """Return ``(mean [1,C], std [1,C], alphabet or None, train_ds or None)``.
+
+    ``train_ds`` is the training split when ``--data`` was given (callers
+    reuse its token matrix for novelty / reconstruction metrics), else None.
+    """
     mean = std = None
+    train_ds = None
     stats = ckpt.get("data_stats") or {}
     alphabet = stats.get("alphabet")
     if data_path:
@@ -47,7 +52,7 @@ def resolve_property_stats(data_path, no_normalize: bool, ckpt: dict,
               "to the model without z-scoring.")
         mean = np.zeros((1, num_conditions), np.float32)
         std = np.ones((1, num_conditions), np.float32)
-    return mean, std, alphabet
+    return mean, std, alphabet, train_ds
 
 
 def normalized_targets(raw_targets, mean, std, num_conditions: int):

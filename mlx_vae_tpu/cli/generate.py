@@ -141,7 +141,7 @@ def main(argv=None):
     # was trained on z-scored conditions, so feeding raw targets (e.g. TPSA
     # 90) silently mis-conditions generation — see ``cli/common.py``.
     from mlx_vae_tpu.cli.common import normalized_targets, resolve_property_stats
-    mean, std, alphabet = resolve_property_stats(
+    mean, std, alphabet, train_ds = resolve_property_stats(
         args.data, args.no_normalize, ckpt, mcfg.num_conditions)
     target = normalized_targets(args.target, mean, std, mcfg.num_conditions)
 
@@ -212,13 +212,26 @@ def main(argv=None):
           f"({rate:,.0f} mols/sec, compile excluded)")
     print(f"Validity: {100 * validity:.1f}%")
 
+    # Sample-quality metrics (MOSES conventions; see data/metrics.py).
+    # Novelty needs the training token matrix, so it reports only with --data.
+    from mlx_vae_tpu.data.metrics import novelty, uniqueness
+    uniq = uniqueness(tokens)
+    print(f"Uniqueness: {100 * uniq:.1f}%")
+    nov = None
+    if train_ds is not None:
+        nov = novelty(tokens, train_ds.molecules)
+        print(f"Novelty vs training set: {100 * nov:.1f}%")
+
     out = {
         "tokens": tokens.tolist(),
         "mols_per_sec": rate,
         "validity": validity,
+        "uniqueness": uniq,
         "temperature": args.temperature,
         "target": args.target,
     }
+    if nov is not None:
+        out["novelty"] = nov
     if args.top_k or args.top_p < 1.0:
         out["top_k"], out["top_p"] = args.top_k, args.top_p
     if alphabet:

@@ -90,7 +90,7 @@ def main(argv=None):
 
     mcfg = ModelConfig(compute_dtype=args.compute_dtype,
                        **infer_model_shape(params["decoder"]))
-    mean, std, alphabet = resolve_property_stats(
+    mean, std, alphabet, _ = resolve_property_stats(
         args.data, args.no_normalize, ckpt, mcfg.num_conditions)
     target = normalized_targets(args.target, mean, std, mcfg.num_conditions)
 
@@ -129,7 +129,13 @@ def main(argv=None):
     cond = jnp.broadcast_to(jnp.asarray(target), (B, mcfg.num_conditions))
     tokens = np.asarray(gen(z_opt, cond, kg))
     validity = selfies_validity(tokens, alphabet or [])
-    print(f"Decoded {B:,} optimized molecules; validity {100 * validity:.1f}%")
+    # Uniqueness matters here specifically: descent pulls every candidate
+    # toward the same surrogate optimum, so mode collapse of the decoded
+    # set is THE failure mode to watch (raise prior_weight / lower steps).
+    from mlx_vae_tpu.data.metrics import uniqueness
+    uniq = uniqueness(tokens)
+    print(f"Decoded {B:,} optimized molecules; validity "
+          f"{100 * validity:.1f}%, uniqueness {100 * uniq:.1f}%")
 
     out = {
         "tokens": tokens.tolist(),
@@ -143,6 +149,7 @@ def main(argv=None):
         "predicted_before_mean": pred0.mean(axis=0).tolist(),
         "predicted_after_mean": pred1.mean(axis=0).tolist(),
         "validity": validity,
+        "uniqueness": uniq,
         "temperature": args.temperature,
     }
     if alphabet:

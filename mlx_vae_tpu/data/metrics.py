@@ -1,0 +1,101 @@
+"""Sample-quality metrics for generated molecules (uniqueness / novelty).
+
+The reference reports no sample-quality metrics at all — its generation path
+ends at raw token arrays (``/root/reference/models/decoder_sampling.py:126-128``).
+These are the standard generative-chemistry metrics (MOSES-benchmark
+conventions) computed on token sequences, complementing the validity fraction
+in ``data/prepare.py:selfies_validity``:
+
+* **uniqueness** — fraction of distinct molecules among the generated batch.
+* **novelty** — fraction of the distinct generated molecules that do not
+  appear in the training set (computed over the *unique* set, per MOSES, so
+  mode-collapsing onto one novel molecule cannot score 100%).
+
+A molecule's identity is its canonical token content: non-special tokens
+strictly before the first EOS. Rows that differ only after EOS (the sampler
+pads there — ``models/sampling.py:73``), or only in pad/start placement,
+are the same molecule. Neither metric is gated on validity — validity is
+reported separately; document both when comparing models.
+
+All-host numpy: metrics run once per CLI invocation on the final token
+matrix, outside any timed region, so there is nothing to jit.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Set
+
+import numpy as np
+
+from mlx_vae_tpu.data.prepare import EOS, _SPECIALS
+
+_NUM_SPECIALS = len(_SPECIALS)
+
+
+def canonical_tokens(tokens, end_token: int = EOS,
+                     num_specials: int = _NUM_SPECIALS) -> np.ndarray:
+    """Canonicalize ``[B, L]`` token rows to ``[B, L] int32``.
+
+    Each row's non-special tokens before its first ``end_token`` are
+    left-compacted in order; remaining positions are -1 (never a token id).
+    Two rows encode the same molecule iff their canonical rows are equal.
+    A row with no kept tokens (immediate EOS, or all specials) canonicalizes
+    to all -1 — the "empty molecule", still one identity.
+    """
+    a = np.asarray(tokens, dtype=np.int32)
+    if a.ndim != 2:
+        raise ValueError(f"expected [B, L] token matrix, got shape {a.shape}")
+    ended = np.cumsum(a == end_token, axis=1) > 0  # at and after first EOS
+    keep = (~ended) & (a >= num_specials)
+    # Stable left-compaction: kept positions first, original order preserved.
+    order = np.argsort(~keep, axis=1, kind="stable")
+    comp = np.take_along_axis(a, order, axis=1)
+    kept_mask = np.sort(keep, axis=1)[:, ::-1]  # first-k-true per row
+    comp[~kept_mask] = -1
+    return comp
+
+
+def _keys(canon: np.ndarray) -> Iterable[bytes]:
+    """Hashable per-row identities of a canonical matrix."""
+    return (row.tobytes() for row in np.ascontiguousarray(canon))
+
+
+def _key_set(tokens, end_token: int, num_specials: int) -> Set[bytes]:
+    return set(_keys(canonical_tokens(tokens, end_token, num_specials)))
+
+
+def uniqueness(tokens, end_token: int = EOS,
+               num_specials: int = _NUM_SPECIALS) -> float:
+    """Distinct molecules / total rows, in (0, 1]. Empty input -> 0.0."""
+    a = np.asarray(tokens)
+    if a.shape[0] == 0:
+        return 0.0
+    return len(_key_set(a, end_token, num_specials)) / a.shape[0]
+
+
+def novelty(tokens, reference_tokens, end_token: int = EOS,
+            num_specials: int = _NUM_SPECIALS) -> float:
+    """Fraction of the DISTINCT generated molecules absent from
+    ``reference_tokens`` (typically the training split's padded token
+    matrix, ``MoleculeDataset.molecules``). Empty input -> 0.0.
+
+    Canonicalization makes differing pad widths between the two matrices
+    irrelevant (trailing -1 padding only extends to each matrix's own L;
+    keys compare by content, so rows are re-padded to a common width here).
+    """
+    gen = np.asarray(tokens)
+    ref = np.asarray(reference_tokens)
+    if gen.shape[0] == 0:
+        return 0.0
+    width = max(gen.shape[1], ref.shape[1] if ref.size else 0)
+
+    def pad_to(m, w):
+        if m.shape[1] == w:
+            return m
+        out = np.full((m.shape[0], w), -1, np.int32)
+        out[:, : m.shape[1]] = m
+        return out
+
+    gen_keys = set(_keys(pad_to(canonical_tokens(gen, end_token, num_specials), width)))
+    ref_keys = set(_keys(pad_to(canonical_tokens(ref, end_token, num_specials), width))) if ref.size else set()
+    return len(gen_keys - ref_keys) / len(gen_keys)

@@ -68,6 +68,8 @@ def test_generate_cli_end_to_end(tmp_path, monkeypatch):
     toks = np.asarray(g["tokens"])
     assert toks.shape == (64, 16)
     assert 0.0 <= g["validity"] <= 1.0
+    assert 0.0 < g["uniqueness"] <= 1.0
+    assert 0.0 <= g["novelty"] <= 1.0  # --data given -> novelty reported
     assert "selfies" in g  # alphabet present in the synthetic dataset
 
     # Without --data: property stats + alphabet come from the checkpoint
@@ -85,6 +87,7 @@ def test_generate_cli_end_to_end(tmp_path, monkeypatch):
         g2 = json.load(f)
     assert np.asarray(g2["tokens"]).shape == (32, 16)
     assert "selfies" in g2  # alphabet recovered from the checkpoint
+    assert "novelty" not in g2  # no --data -> no training set to compare
 
 
 def test_generate_cli_errors_without_stats(tmp_path):

@@ -150,6 +150,7 @@ class TestOptimizeCLI:
         assert np.asarray(g["z_optimized"]).shape == (16, 8)
         assert g["objective_final"] <= g["objective_first"]
         assert len(g["predicted_after_mean"]) == 2
+        assert 0.0 < g["uniqueness"] <= 1.0
         assert "selfies" in g
 
     def test_cli_rejects_predictorless_checkpoint(self, tmp_path):
