@@ -59,6 +59,11 @@ def build_parser():
                    help="Embeddings output (.npz)")
     p.add_argument("--report", type=str, default="encode_report.json",
                    help="Metrics report output (JSON)")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="Shard each batch over all visible devices "
+                        "(shard_map over a ('data',) mesh); results are "
+                        "bit-identical to single-device — encoding and the "
+                        "deterministic decodes need no collectives")
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
     return p
@@ -95,6 +100,25 @@ def main(argv=None):
 
     args = build_parser().parse_args(argv)
 
+    mesh = None
+    if args.data_parallel and len(jax.devices()) > 1:
+        from mlx_vae_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh()
+        nd = mesh.shape["data"]
+        if args.batch_size % nd != 0:
+            raise SystemExit(f"--batch_size {args.batch_size} must divide "
+                             f"over {nd} data-parallel devices")
+        print(f"Data-parallel encoding over {nd} devices")
+
+    def maybe_shard(fn, n_in):
+        """Batch-shard a deterministic ``fn(*arrays)`` over the mesh."""
+        if mesh is None:
+            return jax.jit(fn)
+        from jax.sharding import PartitionSpec as P
+        return jax.jit(jax.shard_map(fn, mesh=mesh,
+                                     in_specs=(P("data"),) * n_in,
+                                     out_specs=P("data"), check_vma=False))
+
     ckpt = load_checkpoint(args.checkpoint)
     params = ckpt["params"]
     mcfg = ModelConfig(compute_dtype=args.compute_dtype,
@@ -112,7 +136,8 @@ def main(argv=None):
     n, L = tokens.shape
     print(f"Encoding {n:,} molecules ({args.split} split, max_length {L})")
 
-    enc = jax.jit(lambda x, c: encoder_apply(params["encoder"], mcfg, x, c))
+    enc = maybe_shard(lambda x, c: encoder_apply(params["encoder"], mcfg,
+                                                 x, c), 2)
     t0 = time.perf_counter()
     mu, logvar = _batched(enc, [tokens, cond], args.batch_size)
     dt = time.perf_counter() - t0
@@ -141,20 +166,20 @@ def main(argv=None):
         key = jax.random.PRNGKey(0)  # TF=1 / greedy are deterministic; fixed key
 
         # Teacher-forced next-token accuracy: the training objective's view.
-        tf_dec = jax.jit(lambda z, c, x: jnp.argmax(
+        tf_dec = maybe_shard(lambda z, c, x: jnp.argmax(
             decoder_apply(params["decoder"], mcfg, z, c, target_seq=x,
-                          teacher_forcing_ratio=1.0, key=key), axis=-1))
+                          teacher_forcing_ratio=1.0, key=key), axis=-1), 3)
         tf_pred = _batched(tf_dec, [mu, cond, tokens], args.batch_size)
         mask = tokens != mcfg.pad_token
         next_tok = float((tf_pred == tokens)[mask].sum() / max(1, mask.sum()))
 
         # Free-running generative reconstruction: greedy decode from z = mu.
-        use_fused = pallas_generate_supported(mcfg, args.batch_size,
-                                              greedy=True)
+        local_batch = args.batch_size // (mesh.shape["data"] if mesh else 1)
+        use_fused = pallas_generate_supported(mcfg, local_batch, greedy=True)
         if use_fused:
             print("Using fused Pallas generation kernel")
         gen = make_generate_fn(mcfg, params["decoder"], use_fused, L,
-                               1.0, greedy=True)
+                               1.0, greedy=True, mesh=mesh)
         t0 = time.perf_counter()
         decoded = _batched(lambda z, c: gen(z, c, key), [mu, cond],
                            args.batch_size)

@@ -113,6 +113,18 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--eval_test", action="store_true",
                         help="Evaluate the held-out test split after training "
                              "(the reference builds the split but never uses it)")
+    parser.add_argument("--best_metric", type=str, default="val_loss",
+                        choices=["val_loss", "val_recon"],
+                        help="Series that selects checkpoint_best. The "
+                             "reference's val_loss (total incl. beta*KL) "
+                             "favors EARLY low-beta epochs under annealing "
+                             "for latent-heavy configs (measured: a "
+                             "--free_bits 8 run's 'best' checkpoint is "
+                             "epoch ~1, benchmarks/reconstruction_eval."
+                             "json); val_recon compares a beta-independent "
+                             "series instead. Resume compares the stored "
+                             "best against the metric chosen NOW — keep "
+                             "the flag consistent across a resumed run")
     parser.add_argument("--seed", type=int, default=67,
                         help="Seed for model init, shuffling, TF masks, and "
                              "reparameterization noise (reference fixes 67, "
@@ -271,9 +283,9 @@ def main(argv=None):
             trainer.history[k].append(metrics[k])
         trainer.history["learning_rate"].append(args.learning_rate)
 
-        is_best = metrics["val_loss"] < best_val_loss
+        is_best = metrics[args.best_metric] < best_val_loss
         if is_best:
-            best_val_loss = metrics["val_loss"]
+            best_val_loss = metrics[args.best_metric]
 
         if (epoch + 1) % args.checkpoint_freq == 0 or is_best:
             trainer.save_checkpoint(epoch=epoch, is_best=is_best,

@@ -159,6 +159,26 @@ class TestEncodeCLI:
         np.testing.assert_array_equal(za["mu"], zb["mu"])
         np.testing.assert_array_equal(za["logvar"], zb["logvar"])
 
+    def test_data_parallel_bit_identical(self, tmp_path):
+        """--data_parallel (shard_map over the 8 fake devices) must produce
+        bit-identical embeddings AND metrics — encoding and the
+        deterministic decodes are pure batch parallelism, no collectives."""
+        from mlx_vae_tpu.cli.encode import main
+        ck, d = self._checkpoint(tmp_path), self._data(tmp_path)
+        reports = {}
+        for tag, extra in [("single", []), ("dp", ["--data_parallel"])]:
+            out = tmp_path / f"{tag}.npz"
+            rep = tmp_path / f"{tag}.json"
+            main(["--checkpoint", str(ck), "--data", str(d), "--split",
+                  "train", "--batch_size", "32", "--output", str(out),
+                  "--report", str(rep)] + extra)
+            with open(rep) as f:
+                reports[tag] = json.load(f)
+        za, zb = np.load(tmp_path / "single.npz"), np.load(tmp_path / "dp.npz")
+        np.testing.assert_array_equal(za["mu"], zb["mu"])
+        np.testing.assert_array_equal(za["logvar"], zb["logvar"])
+        assert reports["single"] == reports["dp"]
+
     @pytest.mark.slow
     def test_trained_reconstruction_beats_untrained(self, tmp_path, monkeypatch):
         """A briefly-trained model must beat a random-init one on
