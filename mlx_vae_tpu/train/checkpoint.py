@@ -51,8 +51,54 @@ def save_checkpoint(path, epoch: int, params: dict, opt_states: dict,
     np.savez(str(path), **ckpt)
 
 
+def _convert_mlx_optimizer_state(state: dict) -> dict:
+    """MLX ``optimizer.state`` layout -> this framework's Adam state.
+
+    A checkpoint written by the REFERENCE (``/root/reference/trainer.py:583-584``
+    saves ``optimizer.state`` verbatim) stores the MLX layout: a tree
+    mirroring the parameters whose leaves are ``{"m": arr, "v": arr}`` dicts,
+    plus scalar ``step`` / ``learning_rate`` entries at the top. Ours is
+    ``{"step", "m": <params tree>, "v": <params tree>}`` (``train/optim.py``).
+    Converting here makes ``--resume`` work directly from a
+    reference-produced checkpoint (both Adams are bias-correction-free, so
+    the m/v/step triple is the complete optimizer state in either format;
+    ``learning_rate`` is a CLI flag on our side and is dropped).
+    """
+    def walk(node):
+        if (isinstance(node, dict) and {"m", "v"} <= set(node)
+                and not isinstance(node["m"], dict)):
+            return node["m"], node["v"]
+        ms, vs = {}, {}
+        for k, val in node.items():
+            if k in ("step", "learning_rate"):
+                continue
+            ms[k], vs[k] = walk(val)
+        return ms, vs
+
+    m, v = walk(state)
+    step = int(np.asarray(state.get("step", 0)))
+    return {"step": np.int32(step), "m": m, "v": v}
+
+
+def _is_mlx_optimizer_state(state: dict) -> bool:
+    return isinstance(state, dict) and set(state) != {"step", "m", "v"}
+
+
 def load_checkpoint(path) -> dict:
-    """Load an .npz checkpoint -> dict with device-array params/opt states."""
+    """Load an .npz checkpoint -> dict with device-array params/opt states.
+
+    Accepts both this framework's checkpoints and ones produced by the
+    reference itself (same key contract by design; the reference omits
+    ``best_val_loss``/``predictor_optimizer_state`` and uses the MLX
+    optimizer-state layout — all handled here), so a reference user can
+    point ``--resume``/``generate.py``/``encode.py`` at their existing
+    ``checkpoint_best.npz``. Caveat: the reference pickles live ``mx.array``
+    objects inside the npz; if numpy cannot unpickle them without ``mlx``
+    installed, convert once on the MLX machine:
+    ``np.savez(out, **{k: v for k, v in np.load(p, allow_pickle=True).items()})``
+    after mapping leaves through ``np.array`` (see README "Migrating from
+    the reference").
+    """
     raw = np.load(str(path), allow_pickle=True)
     out = {
         "epoch": int(raw["epoch"]),
@@ -66,7 +112,10 @@ def load_checkpoint(path) -> dict:
         if wkey in raw:
             params[name] = tree_from_numpy(raw[wkey].item())
         if okey in raw:
-            opt_states[name] = tree_from_numpy(raw[okey].item())
+            state = raw[okey].item()
+            if _is_mlx_optimizer_state(state):
+                state = _convert_mlx_optimizer_state(state)
+            opt_states[name] = tree_from_numpy(state)
     out["params"] = params
     out["opt_states"] = opt_states
     out["data_stats"] = {
