@@ -1,0 +1,129 @@
+"""HTTP generation server (``cli/serve.py``).
+
+Starts the real server (ephemeral port) in a thread against a hand-saved
+checkpoint and exercises it over actual HTTP with urllib — health,
+generation, determinism, padding/looping of the fixed jit batch, and the
+validation surface.
+"""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from mlx_vae_tpu.cli.serve import build_parser, serve_forever
+from mlx_vae_tpu.config import ModelConfig
+
+MCFG = ModelConfig(vocab_size=24, embedding_dim=16, hidden_dim=16,
+                   latent_dim=8, num_conditions=2, num_layers=1)
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    from mlx_vae_tpu.models.vae import ARCVAE
+    from mlx_vae_tpu.train.checkpoint import save_checkpoint
+    from mlx_vae_tpu.train.optim import adam_init
+
+    tmp = tmp_path_factory.mktemp("serve")
+    vae = ARCVAE(MCFG, jax.random.PRNGKey(0))
+    ck = tmp / "ck.npz"
+    save_checkpoint(ck, 0, vae.params,
+                    {k: adam_init(v) for k, v in vae.params.items()}, {},
+                    data_stats={"properties_mean": [60.0, 2.0],
+                                "properties_std": [25.0, 1.0],
+                                "alphabet": ["[C]", "[N]", "[O]"]})
+    args = build_parser().parse_args([
+        "--checkpoint", str(ck), "--port", "0",
+        "--batch_size", "32", "--max_length", "12"])
+    ready = threading.Event()
+    thread = threading.Thread(target=serve_forever, args=(args, ready),
+                              daemon=True)
+    thread.start()
+    assert ready.wait(timeout=300), "server did not come up"
+    srv = ready.server
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _post(base, payload, path="/generate"):
+    req = urllib.request.Request(
+        base + path, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return r.status, json.loads(r.read())
+
+
+def _get(base, path):
+    with urllib.request.urlopen(base + path, timeout=30) as r:
+        return r.status, json.loads(r.read())
+
+
+class TestServer:
+    def test_health(self, server):
+        code, h = _get(server, "/health")
+        assert code == 200
+        assert h["status"] == "ok"
+        assert h["model"]["latent_dim"] == 8
+        assert h["batch_size"] == 32
+        assert h["alphabet_size"] == 3
+
+    def test_generate_pads_and_loops_fixed_batch(self, server):
+        """48 molecules through a 32-batch server: one full + one trimmed."""
+        code, g = _post(server, {"num_molecules": 48, "target": [90.0, 2.5],
+                                 "temperature": 0.8, "seed": 3,
+                                 "return_tokens": True})
+        assert code == 200
+        toks = np.asarray(g["tokens"])
+        assert toks.shape == (48, 12)
+        assert 0.0 <= g["validity"] <= 1.0
+        assert 0.0 < g["uniqueness"] <= 1.0
+        assert len(g["selfies"]) == 48
+        assert g["mols_per_sec"] > 0
+
+    def test_same_seed_is_deterministic(self, server):
+        req = {"num_molecules": 16, "target": [60.0, 1.0], "seed": 7,
+               "return_tokens": True}
+        _, a = _post(server, req)
+        _, b = _post(server, req)
+        assert a["tokens"] == b["tokens"]
+        _, c = _post(server, {**req, "seed": 8})
+        assert c["tokens"] != a["tokens"]
+
+    def test_greedy_flag(self, server):
+        req = {"num_molecules": 8, "target": [60.0, 1.0], "seed": 1,
+               "greedy": True, "return_tokens": True}
+        _, a = _post(server, req)
+        _, b = _post(server, {**req, "greedy": False})
+        assert a["greedy"] and not b["greedy"]
+        assert a["tokens"] != b["tokens"]  # argmax vs sampled
+
+    def test_validation_errors(self, server):
+        for bad in (
+            {"num_molecules": 0},
+            {"num_molecules": "many"},
+            {"temperature": -1.0},
+            {"top_k": 5},
+            {"target": [90.0]},          # needs 2 values for 2 conditions
+        ):
+            with pytest.raises(urllib.error.HTTPError) as e:
+                _post(server, bad)
+            assert e.value.code == 400
+            assert "error" in json.loads(e.value.read())
+
+    def test_unknown_paths(self, server):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(server, "/nope")
+        assert e.value.code == 404
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(server, {}, path="/nope")
+        assert e.value.code == 404
+
+    def test_request_cap(self, server):
+        """Requests above --max_molecules are rejected, not queued."""
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(server, {"num_molecules": 10_000_001})
+        assert e.value.code == 400
