@@ -127,3 +127,57 @@ class TestServer:
         with pytest.raises(urllib.error.HTTPError) as e:
             _post(server, {"num_molecules": 10_000_001})
         assert e.value.code == 400
+
+    def test_concurrent_requests_serialize_correctly(self, server):
+        """Three simultaneous clients: the device lock serializes
+        generation; every response is complete and seed-correct (equal to
+        its own serial rerun)."""
+        results = {}
+
+        def hit(seed):
+            _, g = _post(server, {"num_molecules": 8, "seed": seed,
+                                  "target": [60.0, 1.0],
+                                  "return_tokens": True})
+            results[seed] = g["tokens"]
+
+        threads = [threading.Thread(target=hit, args=(s,)) for s in (1, 2, 3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert set(results) == {1, 2, 3}
+        for seed, toks in results.items():
+            _, again = _post(server, {"num_molecules": 8, "seed": seed,
+                                      "target": [60.0, 1.0],
+                                      "return_tokens": True})
+            assert again["tokens"] == toks
+
+
+def test_checkpoint_without_alphabet(tmp_path):
+    """No embedded alphabet: responses omit selfies (tokens still work);
+    stats must then come from --no_normalize or --data."""
+    from mlx_vae_tpu.models.vae import ARCVAE
+    from mlx_vae_tpu.train.checkpoint import save_checkpoint
+    from mlx_vae_tpu.train.optim import adam_init
+
+    vae = ARCVAE(MCFG, jax.random.PRNGKey(1))
+    ck = tmp_path / "ck.npz"
+    save_checkpoint(ck, 0, vae.params,
+                    {k: adam_init(v) for k, v in vae.params.items()}, {})
+    args = build_parser().parse_args([
+        "--checkpoint", str(ck), "--port", "0", "--batch_size", "16",
+        "--max_length", "8", "--no_normalize"])
+    ready = threading.Event()
+    threading.Thread(target=serve_forever, args=(args, ready),
+                     daemon=True).start()
+    assert ready.wait(timeout=300)
+    base = f"http://127.0.0.1:{ready.server.server_address[1]}"
+    try:
+        _, g = _post(base, {"num_molecules": 4, "target": [0.0, 0.0],
+                            "return_tokens": True})
+        assert "selfies" not in g
+        assert np.asarray(g["tokens"]).shape == (4, 8)
+        _, h = _get(base, "/health")
+        assert h["alphabet_size"] == 0
+    finally:
+        ready.server.shutdown()
