@@ -32,6 +32,12 @@ from mlx_vae_tpu.config import ModelConfig, TrainConfig
 from mlx_vae_tpu.models import ARCVAE
 from mlx_vae_tpu.train.optim import adam_init
 from mlx_vae_tpu.train.steps import multi_train_step, train_step
+from mlx_vae_tpu.utils.compile_cache import enable_compilation_cache
+
+# Warmup compiles are outside the timed region, so the persistent cache only
+# shortens the harness's wall clock (60-120s/compile on remote backends),
+# never the measured steady-state step.
+enable_compilation_cache()
 
 BASELINE_TOKENS_PER_SEC = 1.0e6  # 20x the estimated 50k tok/s MLX-on-M2
 

@@ -66,6 +66,8 @@ def build_parser():
                         "deterministic decodes need no collectives")
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
+    from mlx_vae_tpu.utils.compile_cache import add_cache_flags
+    add_cache_flags(p)
     return p
 
 
@@ -99,6 +101,8 @@ def main(argv=None):
     from mlx_vae_tpu.train.checkpoint import load_checkpoint
 
     args = build_parser().parse_args(argv)
+    from mlx_vae_tpu.utils.compile_cache import setup_cache_from_args
+    setup_cache_from_args(args)
 
     mesh = None
     if args.data_parallel and len(jax.devices()) > 1:

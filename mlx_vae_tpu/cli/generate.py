@@ -59,6 +59,8 @@ def build_parser():
     p.add_argument("--num_layers", type=int, default=None)
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
+    from mlx_vae_tpu.utils.compile_cache import add_cache_flags
+    add_cache_flags(p)
     return p
 
 
@@ -120,6 +122,8 @@ def main(argv=None):
 
     parser = build_parser()
     args = parser.parse_args(argv)
+    from mlx_vae_tpu.utils.compile_cache import setup_cache_from_args
+    setup_cache_from_args(args)
     if args.top_k < 0:
         parser.error(f"--top_k must be >= 0 (0 disables), got {args.top_k}")
     if not 0.0 < args.top_p <= 1.0:

@@ -44,6 +44,8 @@ def build_parser():
     p.add_argument("--output", type=str, default="interpolation.json")
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
+    from mlx_vae_tpu.utils.compile_cache import add_cache_flags
+    add_cache_flags(p)
     return p
 
 
@@ -59,6 +61,8 @@ def main(argv=None):
 
     parser = build_parser()
     args = parser.parse_args(argv)
+    from mlx_vae_tpu.utils.compile_cache import setup_cache_from_args
+    setup_cache_from_args(args)
     if args.steps < 2:
         parser.error(f"--steps must be >= 2, got {args.steps}")
 

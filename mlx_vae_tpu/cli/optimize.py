@@ -58,6 +58,8 @@ def build_parser():
                    help="Treat --target as already-normalized model units")
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
+    from mlx_vae_tpu.utils.compile_cache import add_cache_flags
+    add_cache_flags(p)
     return p
 
 
@@ -73,6 +75,8 @@ def main(argv=None):
 
     parser = build_parser()
     args = parser.parse_args(argv)
+    from mlx_vae_tpu.utils.compile_cache import setup_cache_from_args
+    setup_cache_from_args(args)
     if args.opt_steps < 1:
         parser.error(f"--opt_steps must be >= 1, got {args.opt_steps}")
     if args.top_k < 0:

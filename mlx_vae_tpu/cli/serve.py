@@ -64,6 +64,8 @@ def build_parser():
     p.add_argument("--no_normalize", action="store_true")
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
+    from mlx_vae_tpu.utils.compile_cache import add_cache_flags
+    add_cache_flags(p)
     return p
 
 
@@ -244,7 +246,10 @@ def serve_forever(args, ready_event=None):
 
 
 def main(argv=None):
-    serve_forever(build_parser().parse_args(argv))
+    from mlx_vae_tpu.utils.compile_cache import setup_cache_from_args
+    args = build_parser().parse_args(argv)
+    setup_cache_from_args(args)
+    serve_forever(args)
 
 
 if __name__ == "__main__":

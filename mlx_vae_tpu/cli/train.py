@@ -132,6 +132,8 @@ def build_parser() -> argparse.ArgumentParser:
                              "uses seed 67 — the reference's split is part "
                              "of the public surface and does not move with "
                              "this flag")
+    from mlx_vae_tpu.utils.compile_cache import add_cache_flags
+    add_cache_flags(parser)
     return parser
 
 
@@ -141,8 +143,10 @@ def main(argv=None):
     from mlx_vae_tpu.data.split import load_and_split
     from mlx_vae_tpu.models import ARCVAE
     from mlx_vae_tpu.train.trainer import ARCVAETrainer
+    from mlx_vae_tpu.utils.compile_cache import setup_cache_from_args
 
     args = build_parser().parse_args(argv)
+    setup_cache_from_args(args)
 
     print("=" * 80)
     print("AR-CVAE Training (TPU-native)")

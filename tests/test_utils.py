@@ -112,3 +112,71 @@ class TestProfiler:
             assert jax.config.jax_debug_nans is False
         finally:
             jax.config.update("jax_debug_nans", orig)
+
+
+class TestCompilationCache:
+    """The persistent-cache plumbing (``utils/compile_cache.py``).
+
+    Numerics are cache-invariant by construction (the cache stores the exact
+    executable XLA would have produced), so these pin only the plumbing: the
+    config is set, entries land on disk, the flags control it, and failure
+    to create the directory degrades to a warning instead of an error.
+    """
+
+    def _restore(self):
+        import jax
+        jax.config.update("jax_compilation_cache_dir", None)
+
+    def test_enable_sets_config_and_writes_entries(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+        from mlx_vae_tpu.utils.compile_cache import enable_compilation_cache
+        d = tmp_path / "cache"
+        try:
+            assert enable_compilation_cache(str(d)) == str(d)
+            assert jax.config.jax_compilation_cache_dir == str(d)
+            # CPU compiles are sub-second; drop the time floor so this
+            # tiny program actually produces an entry.
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+            jax.block_until_ready(
+                jax.jit(lambda x: jnp.tanh(x) * 41.0 + x)(jnp.arange(13.0)))
+            assert any(d.iterdir()), "no cache entry written"
+        finally:
+            self._restore()
+
+    def test_flags_roundtrip(self, tmp_path):
+        import argparse
+        from mlx_vae_tpu.utils.compile_cache import (
+            add_cache_flags, setup_cache_from_args)
+        p = argparse.ArgumentParser()
+        add_cache_flags(p)
+        try:
+            args = p.parse_args(["--no_compilation_cache"])
+            assert setup_cache_from_args(args) is None
+            d = tmp_path / "c2"
+            args = p.parse_args(["--compilation_cache", str(d)])
+            assert setup_cache_from_args(args) == str(d)
+            assert d.is_dir()
+        finally:
+            self._restore()
+
+    def test_unwritable_dir_degrades_to_warning(self, tmp_path, capsys):
+        from mlx_vae_tpu.utils.compile_cache import enable_compilation_cache
+        blocker = tmp_path / "file"
+        blocker.write_text("not a directory")
+        try:
+            assert enable_compilation_cache(str(blocker / "sub")) is None
+            assert "compilation cache disabled" in capsys.readouterr().out
+        finally:
+            self._restore()
+
+    def test_every_cli_exposes_the_flags(self):
+        """All six CLIs carry the cache flags (they all jit programs whose
+        remote compiles the cache exists to skip)."""
+        import importlib
+        for mod in ("train", "generate", "encode", "interpolate",
+                    "optimize", "serve"):
+            parser = importlib.import_module(
+                f"mlx_vae_tpu.cli.{mod}").build_parser()
+            opts = {a.dest for a in parser._actions}
+            assert {"compilation_cache", "no_compilation_cache"} <= opts, mod
