@@ -93,6 +93,7 @@ def main(argv=None):
             "(and lambda_prop > 0) so the z->properties surrogate exists.")
 
     mcfg = ModelConfig(compute_dtype=args.compute_dtype,
+                       use_pallas=jax.default_backend() == "tpu",
                        **infer_model_shape(params["decoder"]))
     mean, std, alphabet, _ = resolve_property_stats(
         args.data, args.no_normalize, ckpt, mcfg.num_conditions)

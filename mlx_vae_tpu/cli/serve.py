@@ -139,7 +139,10 @@ class GenerationService:
         from mlx_vae_tpu.data.prepare import decode_tokens, selfies_validity
 
         n = req.get("num_molecules", 100)
-        if not isinstance(n, int) or not 1 <= n <= self.max_molecules:
+        # bool is an int subclass: {"num_molecules": true} must 400, not
+        # silently generate tokens[:True] == 1 molecule.
+        if isinstance(n, bool) or not isinstance(n, int) \
+                or not 1 <= n <= self.max_molecules:
             raise ValueError(f"num_molecules must be an int in "
                              f"[1, {self.max_molecules}], got {n!r}")
         temperature = float(req.get("temperature", 1.0))
@@ -216,7 +219,12 @@ def make_handler(service: GenerationService):
                 if not isinstance(req, dict):
                     raise ValueError("request body must be a JSON object")
                 self._send(200, service.generate(req))
-            except (ValueError, KeyError, json.JSONDecodeError, SystemExit) as e:
+            except (ValueError, TypeError, KeyError, json.JSONDecodeError,
+                    SystemExit) as e:
+                # TypeError covers wrong JSON field types (e.g. a scalar
+                # where a list is required, or null seed) — without it the
+                # handler thread dies and the client sees a connection
+                # reset instead of the JSON 400 contract.
                 self._send(400, {"error": str(e)})
 
         def log_message(self, fmt, *fmt_args):  # quiet per-request stderr

@@ -56,8 +56,12 @@ def optimize_latent(params: dict, cfg: ModelConfig, z0: jnp.ndarray,
     """Descend the latent objective from ``z0`` ``[B, latent]``.
 
     Returns ``(z_opt, info)`` where ``info`` carries the batch-mean
-    objective trajectory ``[steps]`` plus the de-facto before/after
-    predictions (normalized units) for reporting. Pure function of its
+    objective trajectory ``[steps + 1]`` — entry ``t`` is the objective at
+    the iterate after ``t`` updates, so ``objective[0]`` is at ``z0`` and
+    ``objective[-1]`` is at the returned ``z_opt`` (the scan emits each
+    step's PRE-update loss; the final iterate's objective is appended) —
+    plus the de-facto before/after predictions (normalized units) for
+    reporting. Pure function of its
     inputs — jit it (``steps`` is a trace-time constant) or call it inside
     a larger jitted program. Each candidate row is independent: the summed
     objective makes every per-row gradient identical to optimizing that row
@@ -90,8 +94,10 @@ def optimize_latent(params: dict, cfg: ModelConfig, z0: jnp.ndarray,
     init = (z0, jnp.zeros_like(z0), jnp.zeros_like(z0),
             jnp.zeros((), jnp.float32))
     (z_opt, _, _, _), traj = jax.lax.scan(step, init, None, length=steps)
+    final_obj = jnp.mean(latent_objective(pp, cfg, z_opt, target,
+                                          prior_weight))
     info = {
-        "objective": traj,
+        "objective": jnp.concatenate([traj, final_obj[None]]),
         "pred_init": predictor_apply(pp, cfg, z0),
         "pred_final": predictor_apply(pp, cfg, z_opt),
     }

@@ -567,17 +567,17 @@ class ARCVAETrainer:
             n += 1
         if n == 0 and len(dataset) > 0:
             # No full batch fit the mesh (partial batches cannot shard).
-            # Report +inf loss, NOT 0.0: a zero val_loss would win the
-            # is_best comparison and freeze checkpoint_best on untrained
-            # weights (code-review r3).
+            # Report +inf for EVERY metric, NOT 0.0: all of them are
+            # --best_metric candidates (minimized), and a zero value would
+            # win the is_best comparison and freeze checkpoint_best on
+            # untrained weights (code-review r3).
             print(f"   ⚠️  {desc}: dataset has {len(dataset)} samples < "
                   f"batch_size {self.batch_size}; partial batches cannot "
-                  "shard over the mesh — loss reports +inf so it can never "
-                  "be selected as best (shrink batch_size or grow the "
-                  "split; under a mesh trailing partial batches are "
+                  "shard over the mesh — metrics report +inf so they can "
+                  "never be selected as best (shrink batch_size or grow "
+                  "the split; under a mesh trailing partial batches are "
                   "likewise dropped from eval metrics)")
-            return {k: (float("inf") if k == "loss" else 0.0)
-                    for k in sums}
+            return {k: float("inf") for k in sums}
         return {k: v / n if n else 0.0 for k, v in sums.items()}
 
     def _compute_true_train_loss(self, epoch: int,

@@ -33,10 +33,14 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
     """Turn on JAX's persistent compilation cache; returns the directory.
 
     Safe to call more than once (last directory wins) and safe to call after
-    jax is already initialized — the cache is consulted per-compile. Returns
-    None (disabled) if the directory cannot be created, e.g. a read-only
-    home on a locked-down deployment: a cold compile is slow but correct,
-    so cache failure must never be fatal.
+    jax has already compiled programs in this process: jax initializes the
+    persistent cache at most once and then pins that decision, so merely
+    setting ``jax_compilation_cache_dir`` after a first compile is a silent
+    no-op — we therefore also reset the cache module's init state so the
+    next compile re-reads the config. Returns None (disabled) if the
+    directory cannot be created, e.g. a read-only home on a locked-down
+    deployment: a cold compile is slow but correct, so cache failure must
+    never be fatal.
     """
     import jax
 
@@ -52,6 +56,11 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
     # Cache entries regardless of size; the executables here are small
     # (a few MB) and the directory is user-scoped.
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    try:
+        from jax._src import compilation_cache as _cc
+        _cc.reset_cache()
+    except Exception:  # pragma: no cover - private API moved/renamed
+        pass  # first-compile-before-enable then stays uncached; not fatal
     return str(path)
 
 

@@ -122,6 +122,24 @@ def test_generate_cli_errors_without_stats(tmp_path):
     assert (tmp_path / "g.json").exists()
 
 
+def test_no_normalize_wins_over_available_stats(tmp_path):
+    """--no_normalize means 'targets are already model units' — it must
+    return identity stats even when the checkpoint embeds real stats
+    (previously those silently z-scored the target anyway, code-review r3)."""
+    import numpy as np
+    from mlx_vae_tpu.cli.common import resolve_property_stats
+
+    ckpt = {"data_stats": {"properties_mean": [60.0], "properties_std": [25.0],
+                           "alphabet": ["[C]", "[N]"]}}
+    mean, std, alphabet, _ = resolve_property_stats(None, True, ckpt, 1)
+    np.testing.assert_array_equal(mean, np.zeros((1, 1), np.float32))
+    np.testing.assert_array_equal(std, np.ones((1, 1), np.float32))
+    assert alphabet == ["[C]", "[N]"]  # alphabet still flows through
+    # and without the flag the embedded stats are used as before
+    mean, std, _, _ = resolve_property_stats(None, False, ckpt, 1)
+    assert float(mean[0, 0]) == 60.0 and float(std[0, 0]) == 25.0
+
+
 def test_generate_cli_rejects_invalid_truncation_flags(tmp_path):
     """Out-of-range --top_k/--top_p must die at argparse, before any
     checkpoint load or device work (top_p=0 would empty the support set)."""

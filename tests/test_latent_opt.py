@@ -49,8 +49,17 @@ class TestOptimizeLatent:
                                       steps=100, lr=0.05, prior_weight=0.01)
         obj = np.asarray(info["objective"])
         assert z_opt.shape == z0.shape
-        assert obj.shape == (100,)
+        # steps+1 entries: obj[t] is the objective after t updates, so
+        # obj[-1] belongs to the RETURNED z_opt (code-review r3: the scan
+        # alone emits pre-update losses, one iterate behind z_opt).
+        assert obj.shape == (101,)
         assert obj[-1] < 0.2 * obj[0]
+        np.testing.assert_allclose(
+            obj[-1],
+            np.asarray(latent_objective(params["predictor"], MCFG,
+                                        z_opt, target,
+                                        prior_weight=0.01)).mean(),
+            rtol=1e-5)
         # reported predictions match a direct re-application
         np.testing.assert_allclose(
             np.asarray(info["pred_final"]),

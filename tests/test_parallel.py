@@ -184,7 +184,11 @@ def test_mesh_undersized_eval_reports_inf_not_zero(tmp_path):
     vae = ARCVAE(mcfg, jax.random.PRNGKey(0))
     trainer = ARCVAETrainer(vae.params, mcfg, tcfg, train_ds)
     m = trainer._eval_batches(val_ds, 0.05, None, "Validating")
-    assert m["loss"] == float("inf")
+    # EVERY metric is a --best_metric candidate; all must carry the +inf
+    # sentinel (a 0.0 recon would freeze --best_metric val_recon the same
+    # way a 0.0 loss froze val_loss).
+    for k, v in m.items():
+        assert v == float("inf"), (k, v)
 
 
 @pytest.mark.slow

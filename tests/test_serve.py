@@ -105,9 +105,24 @@ class TestServer:
         for bad in (
             {"num_molecules": 0},
             {"num_molecules": "many"},
+            {"num_molecules": True},     # bool is an int subclass — reject
             {"temperature": -1.0},
             {"top_k": 5},
             {"target": [90.0]},          # needs 2 values for 2 conditions
+        ):
+            with pytest.raises(urllib.error.HTTPError) as e:
+                _post(server, bad)
+            assert e.value.code == 400
+            assert "error" in json.loads(e.value.read())
+
+    def test_wrong_types_get_400_not_connection_reset(self, server):
+        """TypeErrors from malformed field types must surface as JSON 400s,
+        not crash the handler thread (client would see ECONNRESET)."""
+        for bad in (
+            {"target": 90},              # scalar where a list is required
+            {"seed": None},              # int(None)
+            {"temperature": [1]},        # float([1])
+            {"target": [None, None]},    # float(None)
         ):
             with pytest.raises(urllib.error.HTTPError) as e:
                 _post(server, bad)
