@@ -41,7 +41,12 @@ def build_parser():
                         ">= top_p (1.0 = disabled); runs the scan sampler")
     p.add_argument("--target", type=float, nargs="+", default=[90.0],
                    help="Target property value(s), raw units (e.g. TPSA 90)")
-    p.add_argument("--output", type=str, default="generated.json")
+    p.add_argument("--output", type=str, default="generated.json",
+                   help="Output path. A .npz suffix stores the token matrix "
+                        "as a compressed array (recommended at bulk scale: "
+                        "1M molecules is ~300MB of JSON but ~10MB of npz, "
+                        "and skips the minutes-long tolist/dump); anything "
+                        "else writes the JSON document.")
     p.add_argument("--no_normalize", action="store_true",
                    help="Pass --target values to the model raw, without "
                         "z-scoring by the train-set stats (only correct if "
@@ -226,8 +231,7 @@ def main(argv=None):
         nov = novelty(tokens, train_ds.molecules)
         print(f"Novelty vs training set: {100 * nov:.1f}%")
 
-    out = {
-        "tokens": tokens.tolist(),
+    meta = {
         "mols_per_sec": rate,
         "validity": validity,
         "uniqueness": uniq,
@@ -235,13 +239,26 @@ def main(argv=None):
         "target": args.target,
     }
     if nov is not None:
-        out["novelty"] = nov
+        meta["novelty"] = nov
     if args.top_k or args.top_p < 1.0:
-        out["top_k"], out["top_p"] = args.top_k, args.top_p
-    if alphabet:
-        out["selfies"] = [decode_tokens(t, alphabet) for t in tokens[:1000]]
-    with open(args.output, "w") as f:
-        json.dump(out, f)
+        meta["top_k"], meta["top_p"] = args.top_k, args.top_p
+    selfies = ([decode_tokens(t, alphabet) for t in tokens[:1000]]
+               if alphabet else None)
+    if args.output.endswith(".npz"):
+        # Bulk contract: the token matrix stays an array (uint8 for small
+        # vocabs — the same dtype that crossed the link), scalars ride
+        # along as 0-d arrays, and only the 1000-row SELFIES sample is
+        # decoded. No tolist() of a million rows.
+        arrays = dict(tokens=tokens, **meta)
+        if selfies is not None:
+            arrays["selfies_sample"] = np.asarray(selfies)
+        np.savez_compressed(args.output, **arrays)
+    else:
+        out = {"tokens": tokens.tolist(), **meta}
+        if selfies is not None:
+            out["selfies"] = selfies
+        with open(args.output, "w") as f:
+            json.dump(out, f)
     print(f"Saved {args.output}")
 
 

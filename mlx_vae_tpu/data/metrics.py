@@ -17,8 +17,12 @@ pads there — ``models/sampling.py:73``), or only in pad/start placement,
 are the same molecule. Neither metric is gated on validity — validity is
 reported separately; document both when comparing models.
 
-All-host numpy: metrics run once per CLI invocation on the final token
-matrix, outside any timed region, so there is nothing to jit.
+All-host: metrics run once per CLI invocation on the final token matrix,
+outside any timed region, so there is nothing to jit. At the 1M-molecule
+bulk scale the per-row work routes to the native post-processor
+(``data/postproc.py`` / ``native/postproc.cpp``) when a toolchain is
+available; the numpy implementations below are the fallback AND the parity
+oracle (``tests/test_postproc.py``).
 """
 
 from __future__ import annotations
@@ -70,6 +74,14 @@ def uniqueness(tokens, end_token: int = EOS,
     a = np.asarray(tokens)
     if a.shape[0] == 0:
         return 0.0
+    from mlx_vae_tpu.data import postproc
+    mat = postproc.as_token_matrix(a)
+    if mat is not None:
+        canon = postproc.canonicalize(mat, end_token, num_specials)
+        if canon is not None:
+            count = postproc.unique_count(canon)
+            if count is not None:
+                return count / a.shape[0]
     return len(_key_set(a, end_token, num_specials)) / a.shape[0]
 
 
@@ -95,6 +107,20 @@ def novelty(tokens, reference_tokens, end_token: int = EOS,
         out = np.full((m.shape[0], w), -1, np.int32)
         out[:, : m.shape[1]] = m
         return out
+
+    from mlx_vae_tpu.data import postproc
+    gm, rm = postproc.as_token_matrix(gen), postproc.as_token_matrix(ref)
+    if gm is not None and (rm is not None or not ref.size):
+        gc = postproc.canonicalize(gm, end_token, num_specials)
+        rc = (postproc.canonicalize(rm, end_token, num_specials)
+              if rm is not None else np.empty((0, gm.shape[1]), np.int32))
+        if gc is not None and rc is not None:
+            counts = postproc.novel_counts(
+                np.ascontiguousarray(pad_to(gc, width)),
+                np.ascontiguousarray(pad_to(rc, width)))
+            if counts is not None:
+                distinct, novel = counts
+                return novel / distinct
 
     gen_keys = set(_keys(pad_to(canonical_tokens(gen, end_token, num_specials), width)))
     ref_keys = set(_keys(pad_to(canonical_tokens(ref, end_token, num_specials), width))) if ref.size else set()

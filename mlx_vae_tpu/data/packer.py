@@ -1,78 +1,39 @@
 """ctypes bridge to the native C++ sequence packer (``native/packer.cpp``).
 
-Always compiled from source on first use with ``g++ -O3`` into a per-user
-cache directory (``$XDG_CACHE_HOME/mlx_vae_tpu``); no prebuilt binary is
-ever shipped or loaded, so a library built on a different host/ISA can never
-be executed here (ADVICE r1). Falls back to a vectorized numpy
-implementation when no toolchain is available. Both paths are exercised by
-``tests/test_data.py``.
+Compiled from source on first use via the shared loader
+(``utils/native.py`` — per-user cache, never a shipped binary, ADVICE r1).
+Falls back to a vectorized numpy implementation when no toolchain is
+available. Both paths are exercised by ``tests/test_data.py``.
 """
 
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
-from pathlib import Path
 from typing import Optional
 
 import numpy as np
 
-_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
-_SRC = _NATIVE_DIR / "packer.cpp"
+from mlx_vae_tpu.utils.native import NATIVE_DIR, load_native
+from mlx_vae_tpu.utils.native import ptr as _ptr
+
+_SRC = NATIVE_DIR / "packer.cpp"
 
 
-def _so_path() -> Path:
-    cache = Path(os.environ.get("XDG_CACHE_HOME",
-                                Path.home() / ".cache")) / "mlx_vae_tpu"
-    return cache / "libpacker.so"
-
-
-_lib: Optional[ctypes.CDLL] = None
-_tried = False
-
-
-def _build() -> Optional[ctypes.CDLL]:
-    try:
-        so = _so_path()
-        if not so.exists() or so.stat().st_mtime < _SRC.stat().st_mtime:
-            so.parent.mkdir(parents=True, exist_ok=True)
-            # Portable ISA flags on purpose: this .so may outlive the host
-            # that built it in a copied cache dir, and the hot loops are
-            # memcpy-bound anyway (-march=native buys nothing measurable).
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", str(_SRC), "-o", str(so)],
-                check=True, capture_output=True,
-            )
-        lib = ctypes.CDLL(str(so))
-        lib.pack_sequences.argtypes = [
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
-            ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
-            ctypes.POINTER(ctypes.c_int32),
-        ]
-        lib.gather_rows.argtypes = [
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
-            ctypes.c_int64, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int32),
-        ]
-        return lib
-    except Exception:
-        return None
+def _configure(lib: ctypes.CDLL) -> None:
+    lib.pack_sequences.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.gather_rows.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
 
 
 def _get_lib() -> Optional[ctypes.CDLL]:
-    global _lib, _tried
-    if not _tried:
-        _tried = True
-        if os.environ.get("MLX_VAE_TPU_NO_NATIVE"):
-            _lib = None
-        else:
-            _lib = _build()
-    return _lib
-
-
-def _ptr(a: np.ndarray, ctype):
-    return a.ctypes.data_as(ctypes.POINTER(ctype))
+    return load_native(_SRC, _configure)
 
 
 def pack_sequences_numpy(sequences: list, max_length: int, pad_token: int) -> np.ndarray:

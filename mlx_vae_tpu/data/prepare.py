@@ -153,8 +153,18 @@ def selfies_validity(token_batches, alphabet) -> float:
 
     With rdkit+selfies present: true chemical validity (decode SELFIES ->
     SMILES -> rdkit parse). Otherwise a structural proxy: sequence is
-    non-empty and terminated by EOS within max_length.
+    non-empty and terminated by EOS within max_length. The proxy routes
+    rectangular token matrices to the native post-processor
+    (``native/postproc.cpp``) when available — at the 1M-molecule bulk
+    scale the per-row Python loop below costs more than generation itself.
     """
+    if not selfies_available():
+        from mlx_vae_tpu.data import postproc
+        mat = postproc.as_token_matrix(token_batches)
+        if mat is not None:
+            count = postproc.validity_count(mat, EOS)
+            if count is not None:
+                return count / mat.shape[0]
     n = 0
     ok = 0
     for toks in token_batches:

@@ -122,6 +122,47 @@ def test_generate_cli_errors_without_stats(tmp_path):
     assert (tmp_path / "g.json").exists()
 
 
+def test_generate_cli_npz_output(tmp_path):
+    """--output foo.npz stores the token matrix as arrays (the bulk-scale
+    contract: no tolist/JSON of a million rows) with the metrics riding
+    along; content must mirror the JSON document's."""
+    import jax
+    import numpy as np
+    from mlx_vae_tpu.cli.generate import main as gen_main
+    from mlx_vae_tpu.config import ModelConfig
+    from mlx_vae_tpu.models import ARCVAE
+    from mlx_vae_tpu.train.checkpoint import save_checkpoint
+    from mlx_vae_tpu.train.optim import adam_init
+
+    mcfg = ModelConfig(vocab_size=24, embedding_dim=16, hidden_dim=32,
+                       latent_dim=8, num_conditions=1, num_layers=2)
+    vae = ARCVAE(mcfg, jax.random.PRNGKey(0))
+    opt = {n: adam_init(p) for n, p in vae.params.items()}
+    ck = tmp_path / "ck.npz"
+    save_checkpoint(ck, 0, vae.params, opt, {},
+                    data_stats={"properties_mean": [60.0],
+                                "properties_std": [25.0],
+                                "alphabet": ["<pad>", "<start>", "<eos>"]
+                                + [f"[T{i}]" for i in range(3, 24)]})
+    shape_flags = ["--vocab_size", "24", "--embedding_dim", "16",
+                   "--hidden_dim", "32", "--latent_dim", "8",
+                   "--num_layers", "2"]
+    common = ["--checkpoint", str(ck), "--num_molecules", "24",
+              "--batch_size", "16", "--max_length", "8"] + shape_flags
+    gen_main(common + ["--output", str(tmp_path / "g.npz")])
+    gen_main(common + ["--output", str(tmp_path / "g.json")])
+
+    z = np.load(tmp_path / "g.npz", allow_pickle=False)
+    import json as _json
+    with open(tmp_path / "g.json") as f:
+        j = _json.load(f)
+    assert z["tokens"].shape == (24, 8)
+    np.testing.assert_array_equal(z["tokens"], np.asarray(j["tokens"]))
+    assert float(z["validity"]) == j["validity"]
+    assert float(z["uniqueness"]) == j["uniqueness"]
+    assert list(z["selfies_sample"]) == j["selfies"]
+
+
 def test_no_normalize_wins_over_available_stats(tmp_path):
     """--no_normalize means 'targets are already model units' — it must
     return identity stats even when the checkpoint embeds real stats

@@ -139,10 +139,19 @@ class TestTruncatedSampling:
         numpy re-derivation of the spec (sort desc -> softmax -> cumsum ->
         keep the prefix through the crossing token; top-k keeps the k
         largest; both intersect). Gaussian logits, so ties are
-        measure-zero and the kept sets must match exactly."""
+        measure-zero and the kept sets must match exactly.
+
+        Runs under ``disable_jit``: every trial has unique shapes/static
+        args, so jitted execution would mean 40 fresh XLA compiles (~3 min
+        of pure compile time for ~ms of math); eager execution is
+        numerically identical here."""
         from mlx_vae_tpu.ops.sampling import truncate_logits
 
         rng = np.random.default_rng(42)
+        with jax.disable_jit():
+            self._run_oracle_sweep(rng, truncate_logits)
+
+    def _run_oracle_sweep(self, rng, truncate_logits):
         for trial in range(40):
             V = int(rng.integers(2, 90))
             B = int(rng.integers(1, 8))

@@ -92,6 +92,7 @@ class TestProfiler:
         with trace(None):
             pass  # must not start a profiler session
 
+    @pytest.mark.slow  # ~80s: profiler start/stop + trace dump dominate
     def test_trace_writes_artifacts(self, tmp_path):
         logdir = str(tmp_path / "trace")
         try:
