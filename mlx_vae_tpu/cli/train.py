@@ -84,6 +84,10 @@ def build_parser() -> argparse.ArgumentParser:
                              "and disables --use_pallas")
     parser.add_argument("--steps_per_dispatch", type=int, default=1,
                         help="Fuse K optimizer steps into one dispatched program")
+    parser.add_argument("--sync_checkpoint", action="store_true",
+                        help="Block the epoch loop on checkpoint writes "
+                        "(default: the device fetch + npz write run on a "
+                        "background thread)")
     parser.add_argument("--host_data", action="store_true",
                         help="Feed batches from host instead of keeping the "
                         "corpus device-resident (for corpora too large "
@@ -246,6 +250,7 @@ def main(argv=None):
         data_parallel=args.data_parallel,
         model_parallel=args.model_parallel,
         steps_per_dispatch=args.steps_per_dispatch,
+        async_checkpoint=not args.sync_checkpoint,
         host_data=args.host_data,
         seed=args.seed,
     )
@@ -302,6 +307,7 @@ def main(argv=None):
                   f"Val Loss: {metrics['val_loss']:.4f}, "
                   f"Beta: {metrics['beta']:.4f}")
 
+    trainer.join_saves()  # land any in-flight async checkpoint write
     trainer.plot_history(save_path=f"{args.checkpoint_dir}/training_history.png")
 
     if args.eval_test:

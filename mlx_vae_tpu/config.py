@@ -152,6 +152,12 @@ class TrainConfig:
     # stacked batches). Amortizes per-dispatch overhead (~2.5ms measured on
     # the tunneled v5e); metrics come back stacked [K].
     steps_per_dispatch: int = 1
+    # Checkpoint saves run the device→host fetch + npz write on a
+    # background thread so the epoch loop never stalls on them (the thread
+    # fetches an on-device snapshot copy — the originals get donated away
+    # by the next train step; see trainer.save_checkpoint).
+    # --sync_checkpoint restores the reference's blocking behavior.
+    async_checkpoint: bool = True
     # Opt out of the device-resident corpus feed (single-device default):
     # normally the tokenized dataset is uploaded to HBM once and batches are
     # fed as [B] index arrays (the gather runs inside the jitted step) —

@@ -14,6 +14,7 @@ npz, like the reference's ``np.savez`` of MLX ``parameters()`` dicts).
 
 from __future__ import annotations
 
+import os
 from pathlib import Path
 from typing import Optional
 
@@ -22,10 +23,18 @@ import numpy as np
 from mlx_vae_tpu.utils.tree import tree_from_numpy, tree_to_numpy
 
 
-def save_checkpoint(path, epoch: int, params: dict, opt_states: dict,
-                    history: dict, best_val_loss: float = float("inf"),
-                    data_stats: Optional[dict] = None) -> None:
-    """``data_stats`` (optional, extra keys beyond the reference contract):
+def build_checkpoint_host(epoch: int, params: dict, opt_states: dict,
+                          history: dict, best_val_loss: float = float("inf"),
+                          data_stats: Optional[dict] = None) -> dict:
+    """Fetch every device array ONCE into the host-side checkpoint dict.
+
+    Split out from :func:`save_checkpoint` so one device→host fetch can feed
+    multiple file writes (the trainer writes ``checkpoint_epoch_NNN`` and
+    ``checkpoint_best`` from the same state — the reference fetches twice,
+    ``/root/reference/trainer.py:591-597``), and so the fetch+serialize can
+    run on a background thread (``trainer.save_checkpoint``).
+
+    ``data_stats`` (optional, extra keys beyond the reference contract):
     ``{"properties_mean", "properties_std", "alphabet"}`` — the train-set
     normalization stats and token alphabet, stored so bulk generation can
     z-score raw property targets without re-reading the dataset (ADVICE r1:
@@ -48,7 +57,32 @@ def save_checkpoint(path, epoch: int, params: dict, opt_states: dict,
                 ckpt[k] = np.asarray(data_stats[k], np.float32)
         if data_stats.get("alphabet"):
             ckpt["alphabet"] = np.asarray(list(data_stats["alphabet"]), object)
-    np.savez(str(path), **ckpt)
+    return ckpt
+
+
+def write_checkpoint(path, ckpt: dict) -> None:
+    """Atomically serialize a host checkpoint dict to ``path``.
+
+    Written to ``<path>.tmp.<pid>`` then ``os.replace``d, so a reader (or a
+    preempted run's ``--resume``) can never observe a truncated
+    ``checkpoint_best.npz`` — the write either fully lands or the old file
+    survives."""
+    path = Path(path)
+    tmp = path.with_name(f"{path.name}.tmp.{os.getpid()}")
+    try:
+        with open(tmp, "wb") as f:
+            np.savez(f, **ckpt)
+        os.replace(tmp, path)
+    finally:
+        tmp.unlink(missing_ok=True)
+
+
+def save_checkpoint(path, epoch: int, params: dict, opt_states: dict,
+                    history: dict, best_val_loss: float = float("inf"),
+                    data_stats: Optional[dict] = None) -> None:
+    """One-call fetch + atomic write (see :func:`build_checkpoint_host`)."""
+    write_checkpoint(path, build_checkpoint_host(
+        epoch, params, opt_states, history, best_val_loss, data_stats))
 
 
 def _convert_mlx_optimizer_state(state: dict) -> dict:

@@ -286,6 +286,7 @@ def test_model_parallel_trainer_epoch_matches_single_device(tmp_path):
         # checkpoint roundtrip with model-sharded params: save gathers the
         # shards, load re-shards onto the mesh
         trainer.save_checkpoint(1, is_best=True, best_val_loss=ms[-1]["val_loss"])
+        trainer.join_saves()
         w_before = np.asarray(trainer.params["decoder"]["fc_out"]["weight"])
         trainer.load_checkpoint(
             str(tmp_path / f"ck_tp{tp}" / "checkpoint_best.npz"))

@@ -116,6 +116,7 @@ class TestTrainerE2E:
         trainer.train_epoch(0, 1, val_dataset=None)
         trainer.history["epoch"].append(0)
         trainer.save_checkpoint(epoch=0, is_best=True, best_val_loss=1.23)
+        trainer.join_saves()
 
         # key contract (SURVEY.md §3.4)
         raw = np.load(ckpt_dir / "checkpoint_best.npz", allow_pickle=True)
@@ -147,6 +148,7 @@ class TestTrainerE2E:
         trainer = ARCVAETrainer(vae.params, mcfg, tcfg, train_ds)
         trainer.alphabet = ["[PAD]", "[SOS]", "[EOS]", "[C]"]
         trainer.save_checkpoint(0, is_best=True)
+        trainer.join_saves()
         from mlx_vae_tpu.train.checkpoint import load_checkpoint
         loaded = load_checkpoint(ckpt_dir / "checkpoint_best.npz")
         st = loaded["data_stats"]
@@ -210,6 +212,7 @@ class TestTrainerE2E:
         assert m["train_prop"] > 0.0
         # predictor weights must be in checkpoints
         trainer.save_checkpoint(0, is_best=True)
+        trainer.join_saves()
         raw = np.load(Path(tcfg.checkpoint_dir) / "checkpoint_best.npz",
                       allow_pickle=True)
         assert "predictor_weights" in raw
@@ -288,3 +291,96 @@ class TestStepsPerDispatch:
                       for e in range(2)]
                 runs.append([(m["train_loss"], m["val_loss"]) for m in ms])
             assert runs[0] == runs[1]  # bit-equal, not approx
+
+
+class TestAsyncCheckpoint:
+    """The async checkpoint writer (TrainConfig.async_checkpoint, default on)
+    must be invisible except for timing: same bytes, same key contract, a
+    snapshot immune to later history mutation, and loud failures."""
+
+    def _trainer(self, tiny_setup, name, **tcfg_kw):
+        tmp, train_ds, _, mcfg = tiny_setup
+        tcfg = TrainConfig(epochs=1, batch_size=32,
+                           checkpoint_dir=str(tmp / name), **tcfg_kw)
+        vae = ARCVAE(mcfg, jax.random.PRNGKey(7))
+        return ARCVAETrainer(vae.params, mcfg, tcfg, train_ds), tmp / name
+
+    def test_async_matches_sync_bytes(self, tiny_setup):
+        tr_a, dir_a = self._trainer(tiny_setup, "ck_async",
+                                    async_checkpoint=True)
+        tr_s, dir_s = self._trainer(tiny_setup, "ck_sync",
+                                    async_checkpoint=False)
+        for tr in (tr_a, tr_s):
+            tr.history["epoch"].append(0)
+            tr.save_checkpoint(epoch=0, is_best=True, best_val_loss=2.5)
+            tr.join_saves()
+        a = (dir_a / "checkpoint_epoch_000.npz").read_bytes()
+        s = (dir_s / "checkpoint_epoch_000.npz").read_bytes()
+        assert a == s  # identical PRNG seed -> identical params -> same file
+        # the best file is a byte copy of the epoch file (single serialize)
+        assert a == (dir_a / "checkpoint_best.npz").read_bytes()
+
+    def test_snapshot_immune_to_history_mutation(self, tiny_setup):
+        trainer, d = self._trainer(tiny_setup, "ck_snap")
+        trainer.history["epoch"].append(0)
+        trainer.save_checkpoint(epoch=0, is_best=False)
+        # mutate AFTER the save call returns but (possibly) before the
+        # background write lands — the saved file must hold the snapshot
+        trainer.history["epoch"].append(999)
+        trainer.join_saves()
+        raw = np.load(d / "checkpoint_epoch_000.npz", allow_pickle=True)
+        assert raw["history"].item()["epoch"] == [0]
+
+    def test_failed_save_raises_at_join(self, tiny_setup, monkeypatch):
+        trainer, _ = self._trainer(tiny_setup, "ck_fail")
+        from mlx_vae_tpu.train import checkpoint as ckpt_io
+
+        def boom(*a, **kw):
+            raise OSError("disk full")
+
+        monkeypatch.setattr(ckpt_io, "write_checkpoint", boom)
+        trainer.save_checkpoint(epoch=0)
+        with pytest.raises(RuntimeError, match="async checkpoint save"):
+            trainer.join_saves()
+        # and the error is cleared once surfaced
+        trainer.join_saves()
+
+    def test_atomic_write_leaves_no_tmp(self, tiny_setup):
+        trainer, d = self._trainer(tiny_setup, "ck_tmpclean")
+        trainer.save_checkpoint(epoch=0, is_best=True)
+        trainer.join_saves()
+        leftovers = [p.name for p in d.iterdir() if ".tmp." in p.name]
+        assert leftovers == []
+
+    def test_save_survives_donation_by_next_epoch(self, tiny_setup, monkeypatch):
+        """The train steps donate params/opt_states, so the next epoch
+        DELETES the buffers an in-flight async save would be fetching
+        (observed on TPU as 'Array has been deleted'). The on-device
+        snapshot copy must make the save immune — and the file must hold
+        the values at save time, not post-epoch-2 ones."""
+        import time as _time
+        from mlx_vae_tpu.train import checkpoint as ckpt_io
+
+        trainer, d = self._trainer(tiny_setup, "ck_donate",
+                                   learning_rate=3e-3, true_loss_batches=2)
+        trainer.train_epoch(0, 2, val_dataset=None)
+        at_save = jax.device_get(trainer.params["decoder"]["fc_out"]["weight"])
+
+        real = ckpt_io.build_checkpoint_host
+
+        def slow_build(*a, **kw):  # hold the fetch open across the epoch
+            _time.sleep(0.5)
+            return real(*a, **kw)
+
+        monkeypatch.setattr(ckpt_io, "build_checkpoint_host", slow_build)
+        trainer.save_checkpoint(0, is_best=True)
+        trainer.train_epoch(1, 2, val_dataset=None)  # donates old buffers
+        trainer.join_saves()
+
+        loaded = load_checkpoint(d / "checkpoint_best.npz")
+        np.testing.assert_array_equal(
+            np.asarray(loaded["params"]["decoder"]["fc_out"]["weight"]),
+            at_save)
+        # and training genuinely moved on past the snapshot
+        after = jax.device_get(trainer.params["decoder"]["fc_out"]["weight"])
+        assert not np.array_equal(after, at_save)
