@@ -133,29 +133,45 @@ class GenerationService:
         # (generate.py does the same).
         return toks.astype(jnp.uint8) if self.cfg.vocab_size < 256 else toks
 
+    @staticmethod
+    def _number(req: dict, field: str, default, kind):
+        """Fetch a numeric request field, rejecting JSON booleans — bool is
+        an int subclass, so ``{"seed": true}`` would otherwise silently
+        coerce (``int(True) == 1``) instead of returning the 400 the
+        validation contract promises (ADVICE r3)."""
+        v = req.get(field, default)
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            raise ValueError(f"{field} must be a number, got {v!r}")
+        return kind(v)
+
     def generate(self, req: dict) -> dict:
         from mlx_vae_tpu.cli.common import normalized_targets
         from mlx_vae_tpu.data.metrics import uniqueness
         from mlx_vae_tpu.data.prepare import decode_tokens, selfies_validity
 
         n = req.get("num_molecules", 100)
-        # bool is an int subclass: {"num_molecules": true} must 400, not
-        # silently generate tokens[:True] == 1 molecule.
+        # Must be an exact int (no bools, no floats): tokens[:True] would
+        # silently generate 1 molecule.
         if isinstance(n, bool) or not isinstance(n, int) \
                 or not 1 <= n <= self.max_molecules:
             raise ValueError(f"num_molecules must be an int in "
                              f"[1, {self.max_molecules}], got {n!r}")
-        temperature = float(req.get("temperature", 1.0))
+        temperature = self._number(req, "temperature", 1.0, float)
         if temperature <= 0:
             raise ValueError(f"temperature must be > 0, got {temperature}")
         greedy = bool(req.get("greedy", False))
         if "top_k" in req or "top_p" in req:
             raise ValueError("top_k/top_p are not served (jit-static in the "
                              "sampler); use generate.py for truncation")
-        target = [float(t) for t in req.get("target", [90.0])]
+        target = req.get("target", [90.0])
+        if not isinstance(target, list) or any(
+                isinstance(t, bool) or not isinstance(t, (int, float))
+                for t in target):
+            raise ValueError(f"target must be a list of numbers, got {target!r}")
+        target = [float(t) for t in target]
         tn = normalized_targets(target, self.mean, self.std,
                                 self.cfg.num_conditions)
-        key = jax.random.PRNGKey(int(req.get("seed", 0)))
+        key = jax.random.PRNGKey(self._number(req, "seed", 0, int))
 
         with self.lock:
             t0 = time.perf_counter()
@@ -179,7 +195,7 @@ class GenerationService:
             "uniqueness": uniqueness(tokens),
         }
         if self.alphabet:
-            limit = int(req.get("max_selfies", 1000))
+            limit = self._number(req, "max_selfies", 1000, int)
             out["selfies"] = [decode_tokens(t, self.alphabet)
                               for t in tokens[:limit]]
         if req.get("return_tokens"):

@@ -278,36 +278,42 @@ def main(argv=None):
 
     from mlx_vae_tpu.utils.profiler import trace
 
-    for epoch in range(start_epoch, args.epochs):
-        print(f"\nEpoch {epoch + 1}/{args.epochs}")
-        with trace(args.profile if epoch == start_epoch else None):
-            metrics = trainer.train_epoch(epoch=epoch, total_epochs=args.epochs,
-                                          val_dataset=val_dataset)
+    # The async save thread is a daemon: if an exception (or Ctrl-C) escapes
+    # the epoch loop, the process would exit with an in-flight checkpoint
+    # write unlanded — the very file failure recovery depends on. Always
+    # join before unwinding (ADVICE r3).
+    try:
+        for epoch in range(start_epoch, args.epochs):
+            print(f"\nEpoch {epoch + 1}/{args.epochs}")
+            with trace(args.profile if epoch == start_epoch else None):
+                metrics = trainer.train_epoch(epoch=epoch,
+                                              total_epochs=args.epochs,
+                                              val_dataset=val_dataset)
 
-        trainer.history["epoch"].append(epoch)
-        for k in ("train_loss", "train_recon", "train_kl", "train_collapse",
-                  "train_prop", "val_loss", "val_recon", "val_kl",
-                  "val_collapse", "val_prop", "beta", "teacher_forcing",
-                  "mutual_info"):
-            trainer.history[k].append(metrics[k])
-        trainer.history["learning_rate"].append(args.learning_rate)
+            trainer.history["epoch"].append(epoch)
+            for k in ("train_loss", "train_recon", "train_kl",
+                      "train_collapse", "train_prop", "val_loss", "val_recon",
+                      "val_kl", "val_collapse", "val_prop", "beta",
+                      "teacher_forcing", "mutual_info"):
+                trainer.history[k].append(metrics[k])
+            trainer.history["learning_rate"].append(args.learning_rate)
 
-        is_best = metrics[args.best_metric] < best_val_loss
-        if is_best:
-            best_val_loss = metrics[args.best_metric]
+            is_best = metrics[args.best_metric] < best_val_loss
+            if is_best:
+                best_val_loss = metrics[args.best_metric]
 
-        if (epoch + 1) % args.checkpoint_freq == 0 or is_best:
-            trainer.save_checkpoint(epoch=epoch, is_best=is_best,
-                                    best_val_loss=best_val_loss)
-            trainer.save_history(args.checkpoint_dir)
+            if (epoch + 1) % args.checkpoint_freq == 0 or is_best:
+                trainer.save_checkpoint(epoch=epoch, is_best=is_best,
+                                        best_val_loss=best_val_loss)
+                trainer.save_history(args.checkpoint_dir)
 
-        if args.verbose:
-            print(f"\nEpoch {epoch + 1}/{args.epochs}: "
-                  f"Train Loss: {metrics['train_loss']:.4f}, "
-                  f"Val Loss: {metrics['val_loss']:.4f}, "
-                  f"Beta: {metrics['beta']:.4f}")
-
-    trainer.join_saves()  # land any in-flight async checkpoint write
+            if args.verbose:
+                print(f"\nEpoch {epoch + 1}/{args.epochs}: "
+                      f"Train Loss: {metrics['train_loss']:.4f}, "
+                      f"Val Loss: {metrics['val_loss']:.4f}, "
+                      f"Beta: {metrics['beta']:.4f}")
+    finally:
+        trainer.join_saves()  # land any in-flight async checkpoint write
     trainer.plot_history(save_path=f"{args.checkpoint_dir}/training_history.png")
 
     if args.eval_test:

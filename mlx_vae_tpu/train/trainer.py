@@ -657,6 +657,15 @@ class ARCVAETrainer:
           The history lists are shallow-copied for the same reason. At most
           one save is in flight (`join_saves`), and the CLI joins before
           anything re-reads a checkpoint.
+
+          **Memory cost**: the on-device snapshot roughly DOUBLES the HBM
+          residency of params+opt-states until the background fetch lands
+          (~2 min through the relay at the scaled config), overlapping the
+          next epoch's step buffers. Model state is small relative to
+          activations here (scaled config: ~0.8 GB state vs 16 GB HBM), but
+          on memory-tight configs pass ``--sync_checkpoint`` to trade the
+          stall for zero extra residency. (ADVICE r3; also documented in
+          docs/DESIGN.md "Checkpointing".)
         """
         self.join_saves()
         path = self.checkpoint_dir / f"checkpoint_epoch_{epoch:03d}.npz"

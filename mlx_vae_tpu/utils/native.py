@@ -14,6 +14,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import sys
 from pathlib import Path
 from typing import Callable, Dict, Optional
 
@@ -57,7 +58,17 @@ def load_native(src: Path,
                     check=True, capture_output=True)
             lib = ctypes.CDLL(str(so))
             configure(lib)
-        except Exception:
+        except Exception as e:
+            # The fallback must stay non-fatal, but a broken toolchain
+            # silently dropping bulk post-processing to the ~10x-slower
+            # Python paths deserves one visible signal (ADVICE r3).
+            detail = ""
+            if isinstance(e, subprocess.CalledProcessError) and e.stderr:
+                stderr = e.stderr.decode(errors="replace").strip()
+                detail = f"\n  g++ stderr: {stderr[:500]}"
+            print(f"mlx_vae_tpu: native component {src.name} unavailable "
+                  f"({type(e).__name__}: {e}); using the slower Python "
+                  f"fallback for this process.{detail}", file=sys.stderr)
             lib = None
     _cache[key] = lib
     return lib
