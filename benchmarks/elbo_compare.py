@@ -127,6 +127,30 @@ def analyze(curves, epochs, warm):
         m: (max(v.values()) - min(v.values())) / abs(tavg_mode[m])
         for m, v in tavg_runs.items()
     }
+
+    # Bootstrap CI on the headline statistic (VERDICT r3 weak #2: a 0.04%
+    # margin at n=3 needed an uncertainty estimate). Resample seeds with
+    # replacement, seed-matched across modes (both modes share a seed's
+    # init/TF/shuffle noise), recompute the time-averaged cross-mode gap.
+    boot = None
+    if len(seeds) >= 3:
+        import random as _random
+        rb = _random.Random(0)
+        gaps = []
+        for _ in range(4000):
+            pick = [seeds[rb.randrange(len(seeds))] for _ in seeds]
+            va = sum(tavg_runs[ma][s] for s in pick) / len(pick)
+            vb = sum(tavg_runs[mb][s] for s in pick) / len(pick)
+            gaps.append(_rel_gap(va, vb))
+        gaps.sort()
+        boot = {
+            "n_boot": len(gaps),
+            "median": gaps[len(gaps) // 2],
+            "ci95": [gaps[int(0.025 * len(gaps))],
+                     gaps[int(0.975 * len(gaps)) - 1]],
+            "p_gap_gt_1pct": sum(g > 0.01 for g in gaps) / len(gaps),
+        }
+
     fin = {m: [elbos[m][s][-1] for s in seeds] for m in modes}
 
     def _mean(v):
@@ -157,6 +181,7 @@ def analyze(curves, epochs, warm):
             "mode_means": tavg_mode,
             "cross_mode_gap": tavg_gap,
             "within_mode_seed_spread": tavg_spread,
+            "bootstrap": boot,
         },
         "final_epoch": {
             "mode_means": {m: _mean(fin[m]) for m in modes},
@@ -173,6 +198,18 @@ def main():
     ap.add_argument("--batch_size", type=int, default=256)
     ap.add_argument("--seeds", default="67,68,69",
                     help="comma-separated seeds; each runs both modes")
+    ap.add_argument("--drug_like", action="store_true",
+                    help="train on the fragment-assembled drug-like corpus "
+                         "(real chemistry, chem/corpus.py) instead of the "
+                         "synthetic token corpus — the real-data ELBO "
+                         "anchor (VERDICT r3 missing #2)")
+    ap.add_argument("--max_length", type=int, default=80,
+                    help="(--drug_like) sequence pad length")
+    ap.add_argument("--merge_from", default=None, metavar="JSON",
+                    help="merge runs from an existing results file; only "
+                         "seeds absent from it are trained (config must "
+                         "match). Widens the seed sample without re-paying "
+                         "prior TPU hours.")
     ap.add_argument("--output", default=None,
                     help="results JSON path (default: "
                          "benchmarks/elbo_compare.json for a fresh run; "
@@ -200,16 +237,45 @@ def main():
             args.output = args.reanalyze
     else:
         if args.output is None:
-            args.output = "benchmarks/elbo_compare.json"
+            args.output = ("benchmarks/elbo_compare_chem.json"
+                           if args.drug_like else
+                           "benchmarks/elbo_compare.json")
         seeds = [int(s) for s in args.seeds.split(",")]
+
+        prior = {}
+        if args.merge_from:
+            prev = json.load(open(args.merge_from))
+            pc = prev["config"]
+            for k, want in (("epochs", args.epochs),
+                            ("molecules", args.molecules),
+                            ("batch_size", args.batch_size)):
+                if pc[k] != want:
+                    raise SystemExit(f"--merge_from config mismatch: "
+                                     f"{k}={pc[k]} vs --{k} {want}")
+            if bool(pc.get("drug_like")) != args.drug_like:
+                raise SystemExit("--merge_from corpus type mismatch")
+            prior = {m: {int(s): c for s, c in by.items()}
+                     for m, by in prev["runs"].items()}
+            done = sorted(next(iter(prior.values())))
+            seeds = sorted(set(seeds) | set(done))
+            print(f"merging {len(done)} prior seeds {done}; training "
+                  f"{sorted(set(seeds) - set(done))}")
 
         from mlx_vae_tpu.config import ModelConfig, TrainConfig
         from mlx_vae_tpu.data.prepare import make_synthetic_dataset
         from mlx_vae_tpu.data.split import load_and_split
 
         with tempfile.NamedTemporaryFile(suffix=".json") as f:
-            make_synthetic_dataset(n=args.molecules, vocab_size=80,
-                                   max_length=64, path=f.name)
+            if args.drug_like:
+                from mlx_vae_tpu.chem.corpus import generate_smiles
+                from mlx_vae_tpu.data.prepare import prepare_from_smiles
+                print(f"building {args.molecules}-molecule drug-like corpus "
+                      f"(deterministic, seed 0)...", flush=True)
+                prepare_from_smiles(generate_smiles(args.molecules, seed=0),
+                                    max_length=args.max_length, path=f.name)
+            else:
+                make_synthetic_dataset(n=args.molecules, vocab_size=80,
+                                       max_length=64, path=f.name)
             train_ds, val_ds, _, _ = load_and_split(f.name)
 
         base = dict(compute_dtype="bfloat16",
@@ -223,6 +289,9 @@ def main():
         curves = {m: {} for m in mcfgs}
         for mode, mcfg in mcfgs.items():  # mode-major: 2 compiles/seed set
             for seed in seeds:
+                if seed in prior.get(mode, {}):
+                    curves[mode][seed] = prior[mode][seed]
+                    continue
                 tcfg = TrainConfig(epochs=args.epochs,
                                    batch_size=args.batch_size,
                                    learning_rate=5e-4,
@@ -239,7 +308,8 @@ def main():
                  for m, by_seed in curves.items()},
         "analysis": analysis,
         "config": {"epochs": args.epochs, "molecules": args.molecules,
-                   "batch_size": args.batch_size, "seeds": seeds},
+                   "batch_size": args.batch_size, "seeds": seeds,
+                   "drug_like": bool(getattr(args, "drug_like", False))},
     }
     Path(args.output).parent.mkdir(parents=True, exist_ok=True)
     # Atomic replace: --reanalyze defaults to rewriting its own INPUT in
@@ -270,6 +340,13 @@ def main():
           f"{100 * ta['cross_mode_gap']:.2f}%  within-mode seed spread "
           + "  ".join(f"{m}={100 * v:.2f}%"
                       for m, v in ta["within_mode_seed_spread"].items()))
+    if ta.get("bootstrap"):
+        b = ta["bootstrap"]
+        print(f"  bootstrap ({b['n_boot']} resamples over "
+              f"{len(analysis['seeds'])} seeds): median "
+              f"{100 * b['median']:.2f}%  95% CI "
+              f"[{100 * b['ci95'][0]:.2f}%, {100 * b['ci95'][1]:.2f}%]  "
+              f"P(gap>1%)={b['p_gap_gt_1pct']:.3f}")
     fe = analysis["final_epoch"]
     print(f"  final epoch: mean gap {100 * fe['cross_mode_gap']:.2f}%  "
           f"stdevs " + "  ".join(

@@ -223,7 +223,7 @@ def main(argv=None):
 
     # Sample-quality metrics (MOSES conventions; see data/metrics.py).
     # Novelty needs the training token matrix, so it reports only with --data.
-    from mlx_vae_tpu.data.metrics import novelty, uniqueness
+    from mlx_vae_tpu.data.metrics import molecule_metrics, novelty, uniqueness
     uniq = uniqueness(tokens)
     print(f"Uniqueness: {100 * uniq:.1f}%")
     nov = None
@@ -240,6 +240,22 @@ def main(argv=None):
     }
     if nov is not None:
         meta["novelty"] = nov
+
+    # Molecule-level metrics when a chemistry alphabet is present:
+    # canonical-SMILES uniqueness and decoded Ertl-TPSA fidelity against
+    # the first conditioning target (the reference's TPSA convention).
+    mm = molecule_metrics(tokens, alphabet or [],
+                          target_tpsa=args.target[0])
+    if mm is not None:
+        from mlx_vae_tpu.data.prepare import chemistry_backend
+        meta["molecule_metrics"] = mm
+        meta["chemistry_backend"] = chemistry_backend()
+        print(f"Molecule-level (sample {mm['sampled']:,}, "
+              f"{chemistry_backend()} backend): "
+              f"unique {100 * mm['mol_uniqueness']:.1f}%"
+              + (f", TPSA {mm['tpsa_mean']:.1f}±{mm['tpsa_std']:.1f} "
+                 f"(target {mm['tpsa_target']:.0f}, "
+                 f"MAE {mm['tpsa_mae']:.1f})" if "tpsa_mae" in mm else ""))
     if args.top_k or args.top_p < 1.0:
         meta["top_k"], meta["top_p"] = args.top_k, args.top_p
     selfies = ([decode_tokens(t, alphabet) for t in tokens[:1000]]

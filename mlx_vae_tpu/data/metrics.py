@@ -125,3 +125,70 @@ def novelty(tokens, reference_tokens, end_token: int = EOS,
     gen_keys = set(_keys(pad_to(canonical_tokens(gen, end_token, num_specials), width)))
     ref_keys = set(_keys(pad_to(canonical_tokens(ref, end_token, num_specials), width))) if ref.size else set()
     return len(gen_keys - ref_keys) / len(gen_keys)
+
+
+def molecule_metrics(tokens, alphabet, target_tpsa=None,
+                     sample: int = 20000, seed: int = 0):
+    """Molecule-LEVEL metrics via the chemistry backend, on a
+    deterministic sample of rows (full decode of 1M rows would dominate
+    the bulk-generation wall clock; ``sample`` rows at ~0.5 ms each is a
+    bounded few seconds).
+
+    Token-level uniqueness (above) treats distinct SELFIES encodings as
+    distinct; two different token rows can decode to the SAME molecule
+    (SELFIES is many-to-one), so this computes uniqueness over canonical
+    SMILES, plus Ertl-TPSA statistics of the decoded molecules — the real
+    conditioning-fidelity measure when ``target_tpsa`` is the generation
+    target (the reference conditions on TPSA,
+    ``/root/reference/train.py:79-87``).
+
+    Returns None when no chemistry backend is wired or the alphabet has
+    no atom symbols (synthetic corpora); otherwise a dict with
+    ``sampled``, ``decoded`` (rows decoding to a non-empty molecule),
+    ``mol_uniqueness``, ``tpsa_mean``, ``tpsa_std`` and — given a target —
+    ``tpsa_mae``.
+    """
+    from mlx_vae_tpu.data import prepare as prep
+    if not prep.selfies_available() or not alphabet:
+        return None
+    from mlx_vae_tpu.chem import selfies_codec as sc
+    if sc.KIND_ATOM not in sc.classify_symbols(list(alphabet))[0]:
+        return None
+    from mlx_vae_tpu.chem import mol_to_smiles, selfies_to_mol, tpsa
+    from mlx_vae_tpu.chem.smiles import perceive_aromaticity
+
+    a = np.asarray(tokens)
+    if a.ndim != 2 or a.shape[0] == 0:
+        return None
+    n = a.shape[0]
+    if n > sample:
+        idx = np.random.default_rng(seed).choice(n, size=sample,
+                                                 replace=False)
+        a = a[np.sort(idx)]
+    smiles_seen = set()
+    tpsas = []
+    decoded = 0
+    for row in a:
+        s = prep.decode_tokens(row, alphabet)
+        mol = selfies_to_mol(s) if s else None
+        if mol is None:
+            continue
+        decoded += 1
+        smiles_seen.add(mol_to_smiles(mol))
+        # SELFIES decode emits kekulized structures with no aromatic
+        # flags; Ertl TPSA distinguishes aromatic N/O contributions.
+        perceive_aromaticity(mol)
+        tpsas.append(tpsa(mol))
+    out = {
+        "sampled": int(a.shape[0]),
+        "decoded": decoded,
+        "mol_uniqueness": (len(smiles_seen) / decoded) if decoded else 0.0,
+    }
+    if tpsas:
+        t = np.asarray(tpsas)
+        out["tpsa_mean"] = float(t.mean())
+        out["tpsa_std"] = float(t.std())
+        if target_tpsa is not None:
+            out["tpsa_mae"] = float(np.abs(t - target_tpsa).mean())
+            out["tpsa_target"] = float(target_tpsa)
+    return out

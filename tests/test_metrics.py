@@ -121,3 +121,60 @@ class TestRandomizedOracle:
 
             assert uniqueness(gen) == pytest.approx(want_uniq)
             assert novelty(gen, ref) == pytest.approx(want_nov)
+
+
+class TestMoleculeMetrics:
+    """Molecule-level metrics (round 4): canonical-SMILES uniqueness and
+    decoded Ertl-TPSA fidelity via the vendored chemistry backend."""
+
+    @pytest.fixture()
+    def chem_data(self):
+        from mlx_vae_tpu.data import prepare as prep
+        smiles = ["CC(=O)Oc1ccccc1C(=O)O", "CCO", "c1ccncc1", "CC(=O)Nc1ccc(O)cc1"]
+        return prep.prepare_from_smiles(smiles, max_length=48), smiles
+
+    def _matrix(self, seqs, L=48):
+        m = np.zeros((len(seqs), L), np.int32)
+        for i, s in enumerate(seqs):
+            m[i, : len(s)] = s
+        return m
+
+    def test_decoded_tpsa_matches_input_molecules(self, chem_data):
+        from mlx_vae_tpu.chem import mol_from_smiles, tpsa
+        from mlx_vae_tpu.data.metrics import molecule_metrics
+        data, smiles = chem_data
+        mat = self._matrix(data["tokenized_sequences"])
+        mm = molecule_metrics(mat, data["alphabet"], target_tpsa=50.0)
+        assert mm["decoded"] == len(smiles)
+        assert mm["mol_uniqueness"] == 1.0
+        want = np.mean([tpsa(mol_from_smiles(s)) for s in smiles])
+        assert mm["tpsa_mean"] == pytest.approx(want, abs=0.01)
+        assert mm["tpsa_mae"] == pytest.approx(
+            np.mean([abs(tpsa(mol_from_smiles(s)) - 50.0) for s in smiles]),
+            abs=0.01)
+
+    def test_duplicate_molecules_collapse(self, chem_data):
+        from mlx_vae_tpu.data.metrics import molecule_metrics
+        data, smiles = chem_data
+        seqs = data["tokenized_sequences"]
+        mat = self._matrix([seqs[0]] * 3 + [seqs[1]])
+        mm = molecule_metrics(mat, data["alphabet"])
+        assert mm["decoded"] == 4
+        assert mm["mol_uniqueness"] == pytest.approx(2 / 4)
+
+    def test_none_for_synthetic_alphabet(self):
+        from mlx_vae_tpu.data import prepare as prep
+        from mlx_vae_tpu.data.metrics import molecule_metrics
+        data = prep.make_synthetic_dataset(n=8, vocab_size=16, max_length=12)
+        mat = self._matrix(data["tokenized_sequences"], L=12)
+        assert molecule_metrics(mat, data["alphabet"]) is None
+        assert molecule_metrics(mat, []) is None
+
+    def test_sampling_is_deterministic(self, chem_data):
+        from mlx_vae_tpu.data.metrics import molecule_metrics
+        data, _ = chem_data
+        seqs = data["tokenized_sequences"]
+        mat = self._matrix(seqs * 50)  # 200 rows
+        a = molecule_metrics(mat, data["alphabet"], sample=64)
+        b = molecule_metrics(mat, data["alphabet"], sample=64)
+        assert a == b and a["sampled"] == 64
