@@ -15,6 +15,13 @@ Checks, all on the first sampled token with every batch row given identical
    value at alpha=1e-4, and total-variation distance small.
 2. **Temperature monotonicity**: empirical entropy strictly increases over
    T = 0.5 -> 1.0 -> 1.5.
+3. **Truncated sampling** (in-kernel top-k / nucleus, r4): for top_k=3,
+   top_p=0.7 and their intersection — (a) ZERO samples outside the kept set
+   that ``ops/sampling.truncate_logits`` derives from the same first-step
+   logits (the hard support contract), (b) chi-square of the observed
+   frequencies vs the renormalized truncated softmax, (c) the degenerate
+   corners top_k=1 and top_p=1e-6 reproduce greedy decoding bit-exactly
+   over full rollouts.
 
 Writes ``benchmarks/sampling_stats.json``; exits nonzero on failure.
 ``tests/test_pallas.py::test_stochastic_sampling_statistics`` runs this as a
@@ -37,8 +44,8 @@ import numpy as np
 _CHI2_CRIT_DOF23_A1E4 = 60.0
 
 
-def first_token_distribution(params, cfg, z_row, cond_row, temperature):
-    """Exact softmax over the first sampled token for one (z, cond)."""
+def first_token_logits(params, cfg, z_row, cond_row):
+    """Exact logits over the first sampled token for one (z, cond)."""
     from mlx_vae_tpu.models.decoder import _stacked_cell, initialize_hidden_state
     from mlx_vae_tpu.models.layers import embedding, linear
 
@@ -49,8 +56,18 @@ def first_token_distribution(params, cfg, z_row, cond_row, temperature):
     emb = embedding(params["embedding"], token, cfg.dtype, onehot=True)
     x = jnp.concatenate([emb.astype(jnp.float32), cond], axis=1)
     out, _, _ = _stacked_cell(params, cfg, x, h, c)
-    logits = linear(params["fc_out"], out, cfg.dtype)[0]
-    return jax.nn.softmax(logits / temperature)
+    return linear(params["fc_out"], out, cfg.dtype)[0]
+
+
+def first_token_distribution(params, cfg, z_row, cond_row, temperature,
+                             top_k=0, top_p=1.0):
+    """Softmax over the first sampled token, optionally truncated via the
+    oracle path (``ops/sampling.truncate_logits`` — NOT the kernel's
+    bisection, so kernel and oracle are independent derivations)."""
+    from mlx_vae_tpu.ops.sampling import truncate_logits
+
+    scaled = first_token_logits(params, cfg, z_row, cond_row) / temperature
+    return jax.nn.softmax(truncate_logits(scaled, top_k=top_k, top_p=top_p))
 
 
 def run(n_samples: int = 65536, seed: int = 0, hidden_dim: int = 128,
@@ -106,9 +123,81 @@ def run(n_samples: int = 65536, seed: int = 0, hidden_dim: int = 128,
              and r["tv_distance"] < 0.02
              for r in results["temperatures"].values())
     mono = entropies[0] < entropies[1] < entropies[2]
+
+    # --- in-kernel truncated sampling (r4): support + distribution ---
+    results["truncated"] = {}
+    trunc_ok = True
+    T = 1.0
+    for label, tk, tp in (("top_k=3", 3, 1.0), ("top_p=0.7", 0, 0.7),
+                          ("top_k=6&top_p=0.8", 6, 0.8)):
+        toks = pallas_generate(params, cfg, z, cond, jax.random.PRNGKey(11),
+                               max_length=8, temperature=T, greedy=False,
+                               top_k=tk, top_p=tp)
+        first = np.asarray(toks[:, 0])
+        counts = np.bincount(first, minlength=cfg.vocab_size).astype(np.float64)
+        dist = np.asarray(first_token_distribution(
+            params, cfg, z_row, cond_row, T, top_k=tk, top_p=tp), np.float64)
+        kept = dist > 0.0
+        escaped = int(counts[~kept].sum())  # samples outside the kept set
+        expected = dist * n_samples
+        mask = expected >= 5.0
+        chi2 = float((((counts - expected) ** 2 / np.maximum(expected, 1e-9))
+                      [mask]).sum())
+        tv = float(0.5 * np.abs(counts - expected).sum() / n_samples)
+        case_ok = (escaped == 0 and chi2 < _CHI2_CRIT_DOF23_A1E4
+                   and tv < 0.02)
+        trunc_ok &= case_ok
+        results["truncated"][label] = {
+            "kept_set_size": int(kept.sum()), "escaped_samples": escaped,
+            "chi2": chi2, "tv_distance": tv, "dof_used": int(mask.sum()),
+        }
+        print(f"{label}: kept={int(kept.sum())} escaped={escaped} "
+              f"chi2={chi2:.1f} TV={tv:.4f} -> {'ok' if case_ok else 'FAIL'}")
+
+    # degenerate corners must reproduce greedy rollouts bit-exactly
+    greedy_rows = np.asarray(pallas_generate(
+        params, cfg, z, cond, jax.random.PRNGKey(12), max_length=8,
+        greedy=True))
+    for label, kw in (("top_k=1", {"top_k": 1}), ("top_p=1e-6", {"top_p": 1e-6})):
+        rows = np.asarray(pallas_generate(
+            params, cfg, z, cond, jax.random.PRNGKey(13), max_length=8,
+            temperature=1.7, greedy=False, **kw))
+        match = bool(np.array_equal(rows, greedy_rows))
+        trunc_ok &= match
+        results["truncated"][f"degenerate_{label}"] = {"equals_greedy": match}
+        print(f"degenerate {label}: equals_greedy={match}")
+
+    # --- truncation throughput: device-side mols/s, plain vs truncated ---
+    # (scalar-readback timing, the bench.py pattern: block_until_ready
+    # under-reports through the tunneled relay)
+    import time as _time
+    results["trunc_throughput"] = {}
+    L = 64
+    for label, kw in (("plain", {}), ("top_k=3", {"top_k": 3}),
+                      ("top_p=0.7", {"top_p": 0.7}),
+                      ("top_k=6&top_p=0.8", {"top_k": 6, "top_p": 0.8})):
+        gen = lambda s: pallas_generate(params, cfg, z, cond,
+                                        jax.random.PRNGKey(s), max_length=L,
+                                        temperature=1.0, greedy=False, **kw)
+        float(jnp.sum(gen(0)[0]))  # compile + warm
+        reps = 3
+        t0 = _time.perf_counter()
+        acc = jnp.int32(0)
+        for r in range(1, reps + 1):
+            acc = acc + jnp.sum(gen(r))
+        acc.item()  # scalar force
+        dt = _time.perf_counter() - t0
+        rate = n_samples * reps / dt
+        results["trunc_throughput"][label] = {"mols_per_sec": rate}
+        print(f"throughput {label}: {rate:,.0f} mols/s (L={L})")
+    plain = results["trunc_throughput"]["plain"]["mols_per_sec"]
+    for label, r in results["trunc_throughput"].items():
+        r["vs_plain"] = r["mols_per_sec"] / plain
+
     results["chi2_pass"] = ok
     results["entropy_monotone"] = mono
-    print(f"chi2_pass={ok} entropy_monotone={mono} "
+    results["truncation_pass"] = trunc_ok
+    print(f"chi2_pass={ok} entropy_monotone={mono} truncation_pass={trunc_ok} "
           f"(entropies {[round(e, 3) for e in entropies]})")
     return results
 
@@ -128,8 +217,8 @@ def main():
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
     print(f"wrote {out}")
-    ok = (results["chi2_pass"] and results["entropy_monotone"]
-          and big["chi2_pass"] and big["entropy_monotone"])
+    ok = all(r[k] for r in (results, big)
+             for k in ("chi2_pass", "entropy_monotone", "truncation_pass"))
     return 0 if ok else 1
 
 

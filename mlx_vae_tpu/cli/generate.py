@@ -33,12 +33,13 @@ def build_parser():
     p.add_argument("--top_k", type=int, default=0,
                    help="Sample only among the k most likely tokens per "
                         "step (0 = disabled). Extension beyond the "
-                        "reference's temperature-only surface; runs the "
-                        "scan sampler")
+                        "reference's temperature-only surface; runs "
+                        "in-kernel on fused-sampler shapes")
     p.add_argument("--top_p", type=float, default=1.0,
                    help="Nucleus sampling: restrict each step to the "
                         "smallest token set with cumulative probability "
-                        ">= top_p (1.0 = disabled); runs the scan sampler")
+                        ">= top_p (1.0 = disabled); runs in-kernel on "
+                        "fused-sampler shapes")
     p.add_argument("--target", type=float, nargs="+", default=[90.0],
                    help="Target property value(s), raw units (e.g. TPSA 90)")
     p.add_argument("--output", type=str, default="generated.json",
@@ -97,7 +98,8 @@ def make_generate_fn(mcfg, dec_params, use_fused, max_length, temperature,
         if use_fused:
             return pallas_generate(dec_params, mcfg, z, cond, kg,
                                    max_length=max_length,
-                                   temperature=temperature, greedy=greedy)
+                                   temperature=temperature, greedy=greedy,
+                                   top_k=top_k, top_p=top_p)
         return generate_with_temperature(dec_params, mcfg, z, cond, kg,
                                          max_length=max_length,
                                          temperature=temperature,

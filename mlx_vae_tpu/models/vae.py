@@ -49,7 +49,8 @@ def vae_generate(params: dict, cfg: ModelConfig, conditions, key,
     Uses the fused Pallas generation kernel on supported TPU shapes
     (``ops/pallas_decoder.py``), the scan sampler otherwise. ``top_k`` /
     ``top_p`` truncation (an extension beyond the reference's
-    temperature-only surface) always runs the scan sampler.
+    temperature-only surface) runs in-kernel on supported shapes too
+    (bisection masking, ``ops/sampling.py:truncate_logits_bisect``).
     """
     k_z, k_gen = jax.random.split(key)
     B = conditions.shape[0]
@@ -61,7 +62,8 @@ def vae_generate(params: dict, cfg: ModelConfig, conditions, key,
                                      top_k=top_k, top_p=top_p):
             return pallas_generate(params["decoder"], cfg, z, conditions,
                                    k_gen, max_length=max_length,
-                                   temperature=temperature, greedy=greedy)
+                                   temperature=temperature, greedy=greedy,
+                                   top_k=top_k, top_p=top_p)
     return generate_with_temperature(params["decoder"], cfg, z, conditions,
                                      k_gen, max_length=max_length,
                                      temperature=temperature, greedy=greedy,

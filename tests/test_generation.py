@@ -229,9 +229,10 @@ class TestTruncatedSampling:
                                        temperature=2.0, top_k=1)
         np.testing.assert_array_equal(np.asarray(g), np.asarray(k1))
 
-    def test_truncation_routes_to_scan_sampler(self):
-        """The fused kernel has no in-kernel top-k/top-p; the gate must
-        refuse shapes it would otherwise admit."""
+    def test_truncation_stays_on_fused_kernel(self):
+        """Truncated sampling runs IN-KERNEL (bisection masking) since r4:
+        the gate admits top-k/top-p wherever it admits plain stochastic
+        sampling — the former scan-fallback (27-53x slower) is gone."""
         from unittest import mock
 
         from mlx_vae_tpu.ops.pallas_decoder import pallas_generate_supported
@@ -240,10 +241,57 @@ class TestTruncatedSampling:
                           compute_dtype="float32")
         with mock.patch.object(jax, "default_backend", return_value="tpu"):
             assert pallas_generate_supported(cfg, 4096, greedy=False)
-            assert not pallas_generate_supported(cfg, 4096, greedy=False,
-                                                 top_k=5)
-            assert not pallas_generate_supported(cfg, 4096, greedy=False,
-                                                 top_p=0.9)
+            assert pallas_generate_supported(cfg, 4096, greedy=False,
+                                             top_k=5)
+            assert pallas_generate_supported(cfg, 4096, greedy=False,
+                                             top_p=0.9)
+            # the scaled stochastic tier admits truncation too
+            big = ModelConfig(hidden_dim=1024, latent_dim=512, num_layers=4,
+                              embedding_dim=128, compute_dtype="bfloat16")
+            assert pallas_generate_supported(big, 4096, greedy=False,
+                                             top_k=5, top_p=0.9)
+
+    def test_bisect_kept_set_matches_numpy_oracle(self):
+        """`truncate_logits_bisect` (the Mosaic-lowerable sort-free variant
+        the fused kernel runs per step) must keep exactly the same token
+        set as `truncate_logits` / the numpy spec, including lane padding.
+        Same sweep as test_kept_set_matches_numpy_oracle, run through a
+        pad-to-128-lanes adapter."""
+        from mlx_vae_tpu.ops.sampling import (_TRUNC_NEG,
+                                              truncate_logits_bisect)
+
+        def padded_bisect(logits, top_k=0, top_p=1.0):
+            B, V = logits.shape
+            Vp = 128
+            # pad lanes mirror the kernel's -1e9 fc_out bias on pad columns
+            padded = jnp.full((B, Vp), -1e9, jnp.float32)
+            padded = padded.at[:, :V].set(logits)
+            out = truncate_logits_bisect(padded, V, top_k=top_k, top_p=top_p)
+            out = np.asarray(out)
+            active = (top_k and 0 < top_k < V) or top_p < 1.0
+            if active:
+                # pad lanes must always be masked when truncation ran
+                assert (out[:, V:] <= 0.5 * _TRUNC_NEG).all()
+            sl = out[:, :V]
+            return jnp.where(sl <= 0.5 * _TRUNC_NEG, -jnp.inf, sl)
+
+        rng = np.random.default_rng(7)
+        with jax.disable_jit():
+            self._run_oracle_sweep(rng, padded_bisect)
+
+    def test_bisect_tie_semantics_match(self):
+        """Duplicate logit values: both truncators keep ALL ties of the
+        kth/cutoff value (the `where(s < kth)` rule), never a subset."""
+        from mlx_vae_tpu.ops.sampling import (_TRUNC_NEG, truncate_logits,
+                                              truncate_logits_bisect)
+
+        x = jnp.asarray([[1.0, 5.0, 5.0, 3.0, 5.0, 0.0]], jnp.float32)
+        xp = jnp.full((1, 128), -1e9, jnp.float32).at[:, :6].set(x)
+        for k in (1, 2, 3, 4, 5):
+            ref = np.isfinite(np.asarray(truncate_logits(x, top_k=k)))
+            got = (np.asarray(truncate_logits_bisect(xp, 6, top_k=k))[:, :6]
+                   > 0.5 * _TRUNC_NEG)
+            np.testing.assert_array_equal(ref, got, err_msg=f"top_k={k}")
 
 
 def test_fused_greedy_gate_tiers():

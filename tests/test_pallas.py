@@ -537,7 +537,7 @@ def test_stochastic_sampling_statistics():
                        env=env, cwd=repo, capture_output=True, text=True,
                        timeout=580)
     assert r.returncode == 0, (r.stdout + r.stderr)[-2000:]
-    assert "chi2_pass=True entropy_monotone=True" in r.stdout
+    assert "chi2_pass=True entropy_monotone=True truncation_pass=True" in r.stdout
 
 
 @pytest.mark.slow
