@@ -8,15 +8,28 @@ no new dependencies.
 
 Design for the single-accelerator serving reality:
 
-* **Warm compiles**: both samplers (stochastic + greedy) are jitted at a
-  FIXED server batch size at startup, so no request ever pays a compile
-  (dynamic per-request values — temperature, targets, seed — are jit
-  inputs; per-request sizes are served by padding the fixed batch and
-  trimming). Remote-TPU compiles take 60-120s; paying them per-request
-  would be fatal.
-* **One device, one queue**: requests execute under a lock (JAX dispatch
-  is not re-entrant-safe across threads for one chip); the HTTP layer is
-  threaded so health checks never queue behind generation.
+* **Size-tiered warm compiles**: the samplers are jitted at a LADDER of
+  batch sizes (``--batch_sizes``, e.g. ``256,2048,8192``) at startup, so no
+  request ever pays a compile (remote-TPU compiles take 60-120s) and a
+  10-molecule request runs a 256-row pass instead of the largest tier's.
+  Requests route to the smallest tier that fits; oversize requests
+  decompose into multiple passes (largest tier first, then the smallest
+  tier that covers the remainder).
+* **One device, one dispatcher**: a single dispatcher thread owns the
+  device (JAX dispatch is not re-entrant-safe across threads for one
+  chip); handler threads enqueue jobs and wait, so health checks never
+  queue behind generation.
+* **Request coalescing**: jobs already waiting in the queue are merged
+  into ONE device pass at kernel-block granularity when semantics allow.
+  The fused sampler takes per-block PRNG seeds and temperatures
+  (``ops/pallas_decoder.py``), and each request's rows are padded to block
+  alignment with seeds derived from the request's own key + intra-request
+  block index — so a request's tokens are bitwise IDENTICAL whether it ran
+  solo in the smallest tier or coalesced into a bigger one. Stochastic
+  jobs coalesce only on the fused path (the scan sampler's draws are
+  batch-position-dependent); greedy jobs always can (argmax is
+  row-independent on both paths). Jobs that cannot coalesce run solo —
+  still tiered.
 * **Checkpoint-embedded stats**: raw property targets are z-scored with
   the train-set stats exactly like ``generate.py`` (``cli/common.py``);
   ``--data`` overrides.
@@ -28,7 +41,8 @@ Endpoints::
                                 "temperature": 0.8, "greedy": false,
                                 "seed": 0, "return_tokens": false}
                             -> {"selfies": [...], "validity": ..,
-                                "uniqueness": .., "mols_per_sec": ..}
+                                "uniqueness": .., "mols_per_sec": ..,
+                                "passes": .., "coalesced": ..}
 
 ``top_k``/``top_p`` are jit-static in the sampler and would recompile per
 distinct value — unsupported here by design; use ``generate.py`` for
@@ -39,6 +53,7 @@ than queued unboundedly.
 from __future__ import annotations
 
 import argparse
+import collections
 import json
 import threading
 import time
@@ -57,7 +72,12 @@ def build_parser():
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--batch_size", type=int, default=4096,
-                   help="Fixed jit batch; requests are padded/looped to it")
+                   help="Largest jit batch tier (back-compat single-tier "
+                        "form of --batch_sizes)")
+    p.add_argument("--batch_sizes", type=str, default=None,
+                   help="Comma-separated warm batch tiers, e.g. "
+                        "'256,2048,8192'. Requests route to the smallest "
+                        "tier that fits; overrides --batch_size")
     p.add_argument("--max_length", type=int, default=64)
     p.add_argument("--max_molecules", type=int, default=1_000_000,
                    help="Reject larger requests instead of queueing them")
@@ -69,15 +89,36 @@ def build_parser():
     return p
 
 
+class _Job:
+    """One /generate request in flight through the dispatcher."""
+
+    __slots__ = ("n", "greedy", "temperature", "target_norm", "key",
+                 "done", "tokens", "error", "dt", "passes", "coalesced")
+
+    def __init__(self, n, greedy, temperature, target_norm, key):
+        self.n = n
+        self.greedy = greedy
+        self.temperature = temperature
+        self.target_norm = target_norm
+        self.key = key
+        self.done = threading.Event()
+        self.tokens = None
+        self.error = None
+        self.dt = 0.0
+        self.passes = 0
+        self.coalesced = False
+
+
 class GenerationService:
-    """Checkpoint + two warm jitted samplers + the device lock."""
+    """Checkpoint + a ladder of warm jitted samplers + the dispatcher."""
 
     def __init__(self, args):
         from mlx_vae_tpu.cli.common import resolve_property_stats
         from mlx_vae_tpu.cli.generate import infer_model_shape
         from mlx_vae_tpu.config import ModelConfig
         from mlx_vae_tpu.models.sampling import generate_with_temperature
-        from mlx_vae_tpu.ops.pallas_decoder import (pallas_generate,
+        from mlx_vae_tpu.ops.pallas_decoder import (block_rows,
+                                                    pallas_generate,
                                                     pallas_generate_supported)
         from mlx_vae_tpu.train.checkpoint import load_checkpoint
 
@@ -89,49 +130,289 @@ class GenerationService:
                                **self.shape)
         self.mean, self.std, self.alphabet, _ = resolve_property_stats(
             args.data, args.no_normalize, ckpt, self.cfg.num_conditions)
-        self.batch = args.batch_size
+
+        if args.batch_sizes:
+            tiers = sorted({int(s) for s in args.batch_sizes.split(",")})
+        else:
+            tiers = [args.batch_size]
+        if any(t < 1 for t in tiers):
+            raise SystemExit(f"batch tiers must be >= 1, got {tiers}")
+        self.tiers = tiers
+        self.batch = tiers[-1]  # legacy /health field: the largest tier
         self.max_length = args.max_length
         self.max_molecules = args.max_molecules
-        self.lock = threading.Lock()
 
-        # Unlike generate.py's make_generate_fn (temperature baked at
-        # closure time), the server takes temperature as a jit INPUT —
-        # both samplers treat it as a traced operand (pallas_generate
-        # feeds it through SMEM), so every request shares two programs.
-        def make(greedy):
-            fused = pallas_generate_supported(self.cfg, self.batch,
-                                              greedy=greedy)
-            gen = pallas_generate if fused else generate_with_temperature
+        # Which (tier, greedy) combos run the fused kernel vs the scan
+        # sampler; the coalescing granularity follows the fused kernel's
+        # grid block (per-block seeds/temps), 8 rows otherwise (TPU batch
+        # alignment; greedy scan coalescing is row-independent anyway).
+        self._fused = {(t, g): self.cfg.use_pallas
+                       and pallas_generate_supported(self.cfg, t, greedy=g)
+                       for t in tiers for g in (False, True)}
+        self.chunk = (block_rows(tiers[-1])
+                      if any(self._fused.values()) else 8)
+        # Tiers eligible as coalesced-pass targets: block-aligned so every
+        # job owns whole blocks regardless of which tier serves the group.
+        self.co_tiers = [t for t in tiers if t % self.chunk == 0]
+        self._can_coalesce = {
+            True: bool(self.co_tiers),  # greedy: both paths row-independent
+            False: bool(self.co_tiers) and all(
+                self._fused[(t, False)] for t in self.co_tiers),
+        }
 
-            def local(z, cond, kg, temperature):
-                return gen(dec, self.cfg, z, cond, kg,
-                           max_length=self.max_length,
-                           temperature=temperature, greedy=greedy)
+        def cast(toks):
+            # Quarter the device->host transfer when ids fit a byte
+            # (generate.py does the same); inside jit so it costs no
+            # extra dispatch through the relay.
+            return (toks.astype(jnp.uint8) if self.cfg.vocab_size < 256
+                    else toks)
+
+        def make(tier, greedy):
+            if self._fused[(tier, greedy)]:
+                def local(z, cond, seeds, temps):
+                    return cast(pallas_generate(
+                        dec, self.cfg, z, cond, jax.random.PRNGKey(0),
+                        max_length=self.max_length, temperature=temps,
+                        greedy=greedy, block_seeds=seeds))
+            else:
+                def local(z, cond, kg, temperature):
+                    return cast(generate_with_temperature(
+                        dec, self.cfg, z, cond, kg,
+                        max_length=self.max_length,
+                        temperature=temperature, greedy=greedy))
             return jax.jit(local)
 
-        self.fns = {greedy: make(greedy) for greedy in (False, True)}
+        def make_prep(tier):
+            nb = -(-tier // self.chunk)
 
-        # Warm both compiled paths so the first request is fast.
+            def prep(pass_key, tn, temperature):
+                kz, kg = jax.random.split(pass_key)
+                z = jax.random.normal(kz, (tier, self.cfg.latent_dim),
+                                      jnp.float32)
+                cond = jnp.broadcast_to(tn.astype(jnp.float32),
+                                        (tier, self.cfg.num_conditions))
+                seeds = jax.random.randint(kg, (nb,), 0,
+                                           np.iinfo(np.int32).max, jnp.int32)
+                temps = jnp.full((nb,), temperature, jnp.float32)
+                return z, cond, seeds, temps, kg
+            return jax.jit(prep)
+
+        self.fns = {(t, g): make(t, g) for t in tiers for g in (False, True)}
+        # Solo-path per-pass input builder (z / conditions / per-block
+        # seeds+temps / scan key) as ONE program per tier: through the
+        # ~55ms-RTT relay, per-pass eager prep ops would otherwise
+        # dominate multi-pass bulk requests.
+        self.preps = {t: make_prep(t) for t in tiers}
+
+        self._pending = collections.deque()
+        self._cv = threading.Condition()
+        self._stats = {"device_passes": 0, "jobs": 0, "coalesced_jobs": 0}
+        self._dispatcher = threading.Thread(target=self._dispatch_loop,
+                                            daemon=True)
+        self._dispatcher.start()
+
+        # Warm every (tier, greedy) program so no request pays a compile.
         t0 = time.perf_counter()
-        for greedy in (False, True):
-            np.asarray(self._run_batch(greedy, 1.0,
-                                       np.zeros((1, self.cfg.num_conditions),
-                                                np.float32),
-                                       jax.random.PRNGKey(0)))
-        print(f"Warmed stochastic+greedy samplers in "
-              f"{time.perf_counter() - t0:.1f}s (batch {self.batch})")
+        for t in self.tiers:
+            for g in (False, True):
+                job = _Job(1, g, 1.0,
+                           np.zeros((1, self.cfg.num_conditions), np.float32),
+                           jax.random.PRNGKey(0))
+                self._run_solo(job, forced_tier=t)
+        print(f"Warmed {len(self.fns)} sampler programs "
+              f"(tiers {self.tiers} x stochastic+greedy) in "
+              f"{time.perf_counter() - t0:.1f}s")
 
-    def _run_batch(self, greedy, temperature, target_norm, key):
-        kz, kg = jax.random.split(key)
-        z = jax.random.normal(kz, (self.batch, self.cfg.latent_dim),
-                              jnp.float32)
-        cond = jnp.broadcast_to(
-            jnp.asarray(target_norm, jnp.float32),
-            (self.batch, self.cfg.num_conditions))
-        toks = self.fns[greedy](z, cond, kg, jnp.float32(temperature))
-        # Quarter the device->host transfer when ids fit a byte
-        # (generate.py does the same).
-        return toks.astype(jnp.uint8) if self.cfg.vocab_size < 256 else toks
+    # ---- planning helpers (pure; unit-tested directly) ----
+
+    def _padded(self, n: int) -> int:
+        return -(-n // self.chunk) * self.chunk
+
+    def plan_passes(self, n: int) -> list[int]:
+        """Decompose an n-molecule job into warm-tier passes minimizing
+        total device rows: largest tier while it fits wholly, then the
+        cheapest covering of the remainder (e.g. tiers [256, 8192] with
+        n=300 -> two 256-row passes, not one 8192-row pass)."""
+        passes, rem = [], n
+        big = self.tiers[-1]
+        while rem >= big:
+            passes.append(big)
+            rem -= big
+        if rem:
+            t = min(self.tiers, key=lambda t: (-(-rem // t) * t, t))
+            passes.extend([t] * (-(-rem // t)))
+        return passes
+
+    # ---- dispatcher ----
+
+    def _eligible(self, job) -> bool:
+        """Can this job run on the block-canonical coalesced path?"""
+        return (self._can_coalesce[job.greedy]
+                and self._padded(job.n) <= self.co_tiers[-1])
+
+    def _dispatch_loop(self):
+        while True:
+            with self._cv:
+                while not self._pending:
+                    self._cv.wait()
+                job = self._pending.popleft()
+                group = [job]
+                if self._eligible(job):
+                    # pull every already-waiting compatible job while the
+                    # group still fits the largest coalescible tier — a
+                    # latency bound, not a correctness one (no artificial
+                    # wait: batch what's queued, nothing more)
+                    cap = self.co_tiers[-1]
+                    rows = self._padded(job.n)
+                    keep = collections.deque()
+                    while self._pending:
+                        nxt = self._pending.popleft()
+                        nrows = self._padded(nxt.n)
+                        if (nxt.greedy == job.greedy
+                                and self._eligible(nxt)
+                                and nrows <= cap - rows):
+                            group.append(nxt)
+                            rows += nrows
+                        else:
+                            keep.append(nxt)
+                    self._pending.extendleft(reversed(keep))
+            try:
+                if self._eligible(job):
+                    self._run_coalesced(group)
+                else:
+                    self._run_solo(job)
+            except Exception as e:  # surface to every waiting client
+                for j in group:
+                    j.error = e
+            finally:
+                for j in group:
+                    j.done.set()
+
+    def _block_streams(self, job):
+        """Canonical per-block (z, seed) streams for the coalesced path:
+        block ``b`` of a job is a pure function of (job.key, b) — identical
+        content, PRNG seed and temperature whichever device pass or batch
+        offset ends up executing it. This is what makes a request's tokens
+        bitwise invariant to coalescing and pass partitioning."""
+        nb = -(-job.n // self.chunk)
+        zs, seeds = [], []
+        for b in range(nb):
+            kz, kg = jax.random.split(jax.random.fold_in(job.key, b))
+            zs.append(jax.random.normal(
+                kz, (self.chunk, self.cfg.latent_dim), jnp.float32))
+            seeds.append(jax.random.randint(kg, (), 0,
+                                            np.iinfo(np.int32).max,
+                                            jnp.int32))
+        return zs, seeds
+
+    def _plan_blocks(self, nblocks: int) -> list[int]:
+        """Partition ``nblocks`` chunk-blocks into coalescible-tier passes
+        minimizing total device rows (largest tier while it fills, then the
+        cheapest covering of the remainder)."""
+        caps = {t: t // self.chunk for t in self.co_tiers}
+        big = self.co_tiers[-1]
+        plan, rem = [], nblocks
+        while rem >= caps[big]:
+            plan.append(big)
+            rem -= caps[big]
+        if rem:
+            t = min(self.co_tiers,
+                    key=lambda t: (-(-rem // caps[t]) * t, t))
+            plan.extend([t] * (-(-rem // caps[t])))
+        return plan
+
+    def _run_solo(self, job, forced_tier=None):
+        """Serial tiered passes for one job (also the warmup driver).
+        Streams for pass ``p`` derive from ``fold_in(job.key, p)`` — jobs
+        on this path never coalesce, so rerun-determinism is all it needs.
+        Two device dispatches per pass (prep program + sampler program)."""
+        out, t0 = [], time.perf_counter()
+        passes = ([forced_tier] if forced_tier is not None
+                  else self.plan_passes(job.n))
+        tn = jnp.asarray(job.target_norm, jnp.float32)
+        rem = job.n
+        for p, tier in enumerate(passes):
+            take = min(rem, tier)
+            z, cond, seeds, temps, kg = self.preps[tier](
+                jax.random.fold_in(job.key, p), tn,
+                jnp.float32(job.temperature))
+            if self._fused[(tier, job.greedy)]:
+                toks = self.fns[(tier, job.greedy)](z, cond, seeds, temps)
+            else:
+                toks = self.fns[(tier, job.greedy)](
+                    z, cond, kg, jnp.float32(job.temperature))
+            if hasattr(toks, "copy_to_host_async"):
+                toks.copy_to_host_async()
+            out.append((toks, take))
+            rem -= take
+        job.tokens = np.concatenate(
+            [np.asarray(t)[:k] for t, k in out])[:job.n]
+        job.dt = time.perf_counter() - t0
+        job.passes = len(passes)
+        self._stats["device_passes"] += len(passes)
+        self._stats["jobs"] += 1
+
+    def _run_coalesced(self, group):
+        """Serve every job in ``group`` (same greedy flag) through
+        block-partitioned device passes: each job's canonical chunk-blocks
+        are laid end to end, cut into coalescible-tier passes, and the
+        outputs reassembled per job."""
+        t0 = time.perf_counter()
+        greedy = group[0].greedy
+        C = self.cfg.num_conditions
+        blocks = []  # (z [chunk,L], seed scalar, temperature, target_norm)
+        for job in group:
+            zs, seeds = self._block_streams(job)
+            tn = jnp.broadcast_to(jnp.asarray(job.target_norm, jnp.float32),
+                                  (self.chunk, C))
+            blocks.extend((z_b, s_b, job.temperature, tn)
+                          for z_b, s_b in zip(zs, seeds))
+
+        plan = self._plan_blocks(len(blocks))
+        outs, idx = [], 0
+        for tier in plan:
+            cap = tier // self.chunk
+            sel = blocks[idx:idx + cap]
+            idx += cap
+            npad = cap - len(sel)
+            z = jnp.concatenate([b[0] for b in sel] + (
+                [jnp.zeros((npad * self.chunk, self.cfg.latent_dim),
+                           jnp.float32)] if npad else []))
+            cond = jnp.concatenate([b[3] for b in sel] + (
+                [jnp.zeros((npad * self.chunk, C), jnp.float32)]
+                if npad else []))
+            if self._fused[(tier, greedy)]:
+                seeds = jnp.stack([b[1] for b in sel]
+                                  + [jnp.int32(0)] * npad)
+                temps = jnp.asarray([b[2] for b in sel] + [1.0] * npad,
+                                    jnp.float32)
+                toks = self.fns[(tier, greedy)](z, cond, seeds, temps)
+            else:
+                # scan path: only greedy groups land here (argmax ignores
+                # temperature and draws nothing, so per-job temps are moot)
+                toks = self.fns[(tier, greedy)](
+                    z, cond, jax.random.PRNGKey(0),
+                    jnp.float32(group[0].temperature))
+            if hasattr(toks, "copy_to_host_async"):
+                toks.copy_to_host_async()
+            outs.append(toks[:len(sel) * self.chunk])
+
+        rows = np.concatenate([np.asarray(t) for t in outs])
+        dt = time.perf_counter() - t0
+        off = 0
+        for job in group:
+            r = self._padded(job.n)
+            job.tokens = rows[off:off + job.n]
+            off += r
+            job.dt = dt
+            job.passes = len(plan)
+            job.coalesced = len(group) > 1
+        self._stats["device_passes"] += len(plan)
+        self._stats["jobs"] += len(group)
+        if len(group) > 1:
+            self._stats["coalesced_jobs"] += len(group)
+
+    # ---- request surface ----
 
     @staticmethod
     def _number(req: dict, field: str, default, kind):
@@ -173,24 +454,23 @@ class GenerationService:
                                 self.cfg.num_conditions)
         key = jax.random.PRNGKey(self._number(req, "seed", 0, int))
 
-        with self.lock:
-            t0 = time.perf_counter()
-            chunks = []
-            for _ in range(-(-n // self.batch)):
-                key, k = jax.random.split(key)
-                toks = self._run_batch(greedy, temperature, tn, k)
-                if hasattr(toks, "copy_to_host_async"):
-                    toks.copy_to_host_async()
-                chunks.append(toks)
-            tokens = np.concatenate([np.asarray(c) for c in chunks])[:n]
-            dt = time.perf_counter() - t0
+        job = _Job(n, greedy, temperature, tn, key)
+        with self._cv:
+            self._pending.append(job)
+            self._cv.notify()
+        job.done.wait()
+        if job.error is not None:
+            raise job.error
+        tokens = job.tokens
 
         out = {
             "num_molecules": int(n),
             "target": target,
             "temperature": temperature,
             "greedy": greedy,
-            "mols_per_sec": n / dt,
+            "mols_per_sec": n / max(job.dt, 1e-9),
+            "passes": job.passes,
+            "coalesced": job.coalesced,
             "validity": selfies_validity(tokens, self.alphabet or []),
             "uniqueness": uniqueness(tokens),
         }
@@ -204,7 +484,12 @@ class GenerationService:
 
     def health(self) -> dict:
         return {"status": "ok", "model": self.shape,
-                "batch_size": self.batch, "max_length": self.max_length,
+                "batch_size": self.batch, "batch_tiers": self.tiers,
+                "coalescing": {"stochastic": self._can_coalesce[False],
+                               "greedy": self._can_coalesce[True],
+                               "block_rows": self.chunk},
+                "stats": dict(self._stats),
+                "max_length": self.max_length,
                 "backend": jax.default_backend(),
                 "alphabet_size": len(self.alphabet or [])}
 
@@ -258,6 +543,7 @@ def serve_forever(args, ready_event=None):
                                  make_handler(service))
     if ready_event is not None:
         ready_event.server = server
+        ready_event.service = service
         ready_event.set()
     print(f"Serving on http://{server.server_address[0]}:"
           f"{server.server_address[1]} (POST /generate, GET /health)")

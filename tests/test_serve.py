@@ -23,7 +23,7 @@ MCFG = ModelConfig(vocab_size=24, embedding_dim=16, hidden_dim=16,
 
 
 @pytest.fixture(scope="module")
-def server(tmp_path_factory):
+def _srv(tmp_path_factory):
     from mlx_vae_tpu.models.vae import ARCVAE
     from mlx_vae_tpu.train.checkpoint import save_checkpoint
     from mlx_vae_tpu.train.optim import adam_init
@@ -38,15 +38,26 @@ def server(tmp_path_factory):
                                 "alphabet": ["[C]", "[N]", "[O]"]})
     args = build_parser().parse_args([
         "--checkpoint", str(ck), "--port", "0",
-        "--batch_size", "32", "--max_length", "12"])
+        "--batch_sizes", "8,32", "--max_length", "12"])
     ready = threading.Event()
     thread = threading.Thread(target=serve_forever, args=(args, ready),
                               daemon=True)
     thread.start()
     assert ready.wait(timeout=300), "server did not come up"
     srv = ready.server
-    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    yield base, ready.service
     srv.shutdown()
+
+
+@pytest.fixture(scope="module")
+def server(_srv):
+    return _srv[0]
+
+
+@pytest.fixture(scope="module")
+def service(_srv):
+    return _srv[1]
 
 
 def _post(base, payload, path="/generate"):
@@ -68,7 +79,14 @@ class TestServer:
         assert code == 200
         assert h["status"] == "ok"
         assert h["model"]["latent_dim"] == 8
-        assert h["batch_size"] == 32
+        assert h["batch_size"] == 32          # legacy field: largest tier
+        assert h["batch_tiers"] == [8, 32]
+        # CPU scan path: greedy coalesces (argmax is row-independent),
+        # stochastic must NOT (the scan sampler's draws are
+        # batch-position-dependent — only the fused kernel's per-block
+        # seeds make stochastic coalescing safe)
+        assert h["coalescing"] == {"stochastic": False, "greedy": True,
+                                   "block_rows": 8}
         assert h["alphabet_size"] == 3
 
     def test_generate_pads_and_loops_fixed_batch(self, server):
@@ -142,6 +160,74 @@ class TestServer:
         with pytest.raises(urllib.error.HTTPError) as e:
             _post(server, {"num_molecules": 10_000_001})
         assert e.value.code == 400
+
+    def test_tier_routing_minimizes_rows(self, service):
+        """plan_passes picks the cheapest warm-tier covering: a 48-molecule
+        job on tiers [8, 32] is 32+8+8 rows, never 2x32; a 4-molecule job
+        is one 8-row pass, never a 32-row one."""
+        assert service.plan_passes(48) == [32, 8, 8]
+        assert service.plan_passes(4) == [8]
+        assert service.plan_passes(8) == [8]
+        assert service.plan_passes(33) == [32, 8]
+        assert service.plan_passes(64) == [32, 32]
+        # block-space planner (coalesced path): same economy in blocks
+        assert service._plan_blocks(1) == [8]
+        assert service._plan_blocks(4) == [32]
+        assert service._plan_blocks(5) == [32, 8]
+
+    def test_small_request_uses_small_tier(self, server):
+        """A request smaller than the small tier reports one pass (routed
+        to the 8-row tier, not padded into the 32-row one)."""
+        _, g = _post(server, {"num_molecules": 4, "target": [60.0, 1.0],
+                              "seed": 5, "greedy": True})
+        assert g["passes"] == 1
+
+    def test_greedy_coalescing_is_bitwise_invariant(self, service):
+        """The serving contract behind coalescing: a job's tokens are
+        identical whether its blocks run solo or packed into one pass with
+        another job's (greedy here — the path CPU can exercise; the fused
+        stochastic equivalent rides the kernel's per-block seeds and is
+        validated on TPU via benchmarks/serving.json)."""
+        import jax as _jax
+
+        from mlx_vae_tpu.cli.serve import _Job
+
+        def mk(n, seed, target):
+            return _Job(n, True, 1.0,
+                        np.asarray([target, 0.5], np.float32),
+                        _jax.random.PRNGKey(seed))
+
+        a_solo, b_solo = mk(4, 1, 0.1), mk(11, 2, -0.3)
+        service._run_coalesced([a_solo])
+        service._run_coalesced([b_solo])
+        a_co, b_co = mk(4, 1, 0.1), mk(11, 2, -0.3)
+        service._run_coalesced([a_co, b_co])
+        assert a_co.coalesced and b_co.coalesced and not a_solo.coalesced
+        np.testing.assert_array_equal(a_solo.tokens, a_co.tokens)
+        np.testing.assert_array_equal(b_solo.tokens, b_co.tokens)
+
+    def test_concurrent_greedy_requests_coalesce_correctly(self, server):
+        """Concurrent greedy clients may be coalesced into shared device
+        passes; every response must still equal its own solo rerun."""
+        results = {}
+
+        def hit(seed):
+            _, g = _post(server, {"num_molecules": 5, "seed": seed,
+                                  "target": [60.0 + seed, 1.0],
+                                  "greedy": True, "return_tokens": True})
+            results[seed] = g["tokens"]
+
+        threads = [threading.Thread(target=hit, args=(s,)) for s in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert set(results) == set(range(6))
+        for seed, toks in results.items():
+            _, again = _post(server, {"num_molecules": 5, "seed": seed,
+                                      "target": [60.0 + seed, 1.0],
+                                      "greedy": True, "return_tokens": True})
+            assert again["tokens"] == toks, f"seed {seed}"
 
     def test_concurrent_requests_serialize_correctly(self, server):
         """Three simultaneous clients: the device lock serializes
