@@ -16,6 +16,13 @@ Measured on the committed examples/ run: target 50 -> 52.3+-10.8,
 90 -> 90.7+-4.3, 130 -> 128.3+-4.3 (the conditioning pathway controls
 generation; the reference cannot demonstrate this — its decoder never
 consumes z and conditions only via the input concat).
+
+``--chem``: score with REAL chemistry instead — decode each generated row
+as SELFIES -> molecule (vendored backend, ``mlx_vae_tpu/chem``) and
+measure Ertl TPSA of the decoded structures (the reference's actual
+conditioning property, ``/root/reference/mlx_data/dataloader.py:39-65``).
+Requires a checkpoint trained on a chemistry corpus
+(``prepare.py --drug_like N``) and the corpus JSON for its alphabet.
 """
 
 from __future__ import annotations
@@ -41,6 +48,10 @@ def main():
     ap.add_argument("--batch_size", type=int, default=2048)
     ap.add_argument("--max_length", type=int, default=64)
     ap.add_argument("--temperature", type=float, default=0.8)
+    ap.add_argument("--chem", action="store_true",
+                    help="score decoded molecules with the vendored "
+                         "chemistry backend (Ertl TPSA) instead of the "
+                         "synthetic token formula")
     ap.add_argument("--output", default="benchmarks/conditioning_fidelity.json")
     # model shape flags (must match checkpoint)
     ap.add_argument("--vocab_size", type=int, default=80)
@@ -68,6 +79,15 @@ def main():
     train_ds, _, _, _ = load_and_split(args.data)
     mean, std = train_ds.properties_mean, train_ds.properties_std
 
+    alphabet = None
+    if args.chem:
+        from mlx_vae_tpu.data.metrics import molecule_metrics
+        with open(args.data) as f:
+            alphabet = json.load(f).get("alphabet")
+        if not alphabet:
+            sys.exit("--chem needs a corpus JSON with an 'alphabet' "
+                     "(prepare.py --drug_like / --smiles)")
+
     fused = pallas_generate_supported(mcfg, args.batch_size,
                                       greedy=False)
     results = []
@@ -80,13 +100,29 @@ def main():
         toks = np.asarray(gen(dec, mcfg, z, cond, jax.random.PRNGKey(1),
                               max_length=args.max_length,
                               temperature=args.temperature))
-        achieved = np.array([synthetic_tpsa(t, mcfg.vocab_size) for t in toks])
-        results.append({"target": target,
-                        "achieved_mean": float(achieved.mean()),
-                        "achieved_std": float(achieved.std()),
-                        "mae": float(np.abs(achieved - target).mean())})
-        print(f"target {target:6.1f}: achieved {achieved.mean():6.1f} "
-              f"± {achieved.std():5.1f} (MAE {results[-1]['mae']:.1f})")
+        if args.chem:
+            mm = molecule_metrics(toks, alphabet, target_tpsa=target,
+                                  sample=len(toks))
+            if mm is None or "tpsa_mean" not in mm:
+                sys.exit("chemistry backend unavailable or nothing decoded")
+            results.append({"target": target,
+                            "decoded": mm["decoded"],
+                            "decode_rate": mm["decoded"] / mm["sampled"],
+                            "achieved_mean": mm.get("tpsa_mean"),
+                            "achieved_std": mm.get("tpsa_std"),
+                            "mae": mm.get("tpsa_mae"),
+                            "backend": "vendored-ertl"})
+        else:
+            achieved = np.array([synthetic_tpsa(t, mcfg.vocab_size)
+                                 for t in toks])
+            results.append({"target": target,
+                            "achieved_mean": float(achieved.mean()),
+                            "achieved_std": float(achieved.std()),
+                            "mae": float(np.abs(achieved - target).mean())})
+        print(f"target {target:6.1f}: achieved "
+              f"{results[-1]['achieved_mean']:6.1f} "
+              f"± {results[-1]['achieved_std']:5.1f} "
+              f"(MAE {results[-1]['mae']:.1f})")
 
     Path(args.output).parent.mkdir(parents=True, exist_ok=True)
     with open(args.output, "w") as f:

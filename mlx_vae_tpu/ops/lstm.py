@@ -201,7 +201,11 @@ def _seq_cv_bwd(dtype, use_pallas, residuals, cotangents):
     dbias = jnp.sum(dg.astype(jnp.float32), axis=0)
     dxs_t = jnp.dot(dg, params["Wx"].astype(dtype),
                     preferred_element_type=jnp.float32)  # [L*B, I]
-    dxs = jnp.swapaxes(dxs_t.reshape(L, B, I), 0, 1)
+    # custom_vjp contract: cotangent dtype must match the primal input's —
+    # an uncast f32 dxs against bf16 xs poisons upstream strict-dtype
+    # transpose rules (e.g. inter-layer dropout's div; same fix as
+    # ops/pallas_seq_lstm._bwd_rule).
+    dxs = jnp.swapaxes(dxs_t.reshape(L, B, I), 0, 1).astype(xs.dtype)
 
     dparams = {"Wx": dWx, "Wh": dWh, "bias": dbias}
     return dparams, dxs, dh0, dc0

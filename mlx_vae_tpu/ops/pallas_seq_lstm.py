@@ -556,7 +556,13 @@ def _bwd_rule(dtype, interpret, residuals, cotangents):
         dhf.astype(jnp.float32), dcf.astype(jnp.float32), interpret)
 
     dparams = {"Wx": dwcat[:I].T, "Wh": dwcat[I:].T, "bias": db}
-    dxs = jnp.swapaxes(dxs_t, 0, 1)
+    # custom_vjp contract: cotangent dtypes must MATCH the primal inputs'.
+    # The kernel accumulates dxs in f32; with bf16 xs (a bf16 inter-layer
+    # activation feeding this layer) an uncast f32 cotangent poisons the
+    # upstream transpose — e.g. inter-layer dropout's `div` transpose rule
+    # rejects (f32 cotangent, bf16 divisor) with a TypeError (found by
+    # benchmarks/encoder_fallback_cost.py on --apply_dropout bf16).
+    dxs = jnp.swapaxes(dxs_t, 0, 1).astype(xs.dtype)
     return dparams, dxs, dh0, dc0
 
 
