@@ -52,6 +52,12 @@ def main():
                     help="score decoded molecules with the vendored "
                          "chemistry backend (Ertl TPSA) instead of the "
                          "synthetic token formula")
+    ap.add_argument("--properties", default="tpsa",
+                    help="comma-separated condition keys the checkpoint was "
+                         "trained with (--chem multi-property sweeps: the "
+                         "FIRST key is swept over --targets, the rest are "
+                         "held at their corpus means, and ALL achieved "
+                         "descriptors are scored)")
     ap.add_argument("--output", default="benchmarks/conditioning_fidelity.json")
     # model shape flags (must match checkpoint)
     ap.add_argument("--vocab_size", type=int, default=80)
@@ -69,14 +75,17 @@ def main():
                                                 pallas_generate_supported)
     from mlx_vae_tpu.train.checkpoint import load_checkpoint
 
+    prop_keys = tuple(k.strip() for k in args.properties.split(",")
+                      if k.strip())
     mcfg = ModelConfig(vocab_size=args.vocab_size,
                        embedding_dim=args.embedding_dim,
                        hidden_dim=args.hidden_dim, latent_dim=args.latent_dim,
                        num_layers=args.num_layers,
+                       num_conditions=len(prop_keys),
                        compute_dtype="bfloat16",
                        use_pallas=jax.default_backend() == "tpu")
     dec = load_checkpoint(args.checkpoint)["params"]["decoder"]
-    train_ds, _, _, _ = load_and_split(args.data)
+    train_ds, _, _, _ = load_and_split(args.data, property_keys=prop_keys)
     mean, std = train_ds.properties_mean, train_ds.properties_std
 
     alphabet = None
@@ -88,19 +97,65 @@ def main():
             sys.exit("--chem needs a corpus JSON with an 'alphabet' "
                      "(prepare.py --drug_like / --smiles)")
 
+    def achieved_descriptors(toks):
+        """Decode rows -> per-descriptor arrays {key: values} for every
+        conditioned property (vendored backend; aromaticity perceived as in
+        data/metrics.py)."""
+        from mlx_vae_tpu.chem import selfies_to_mol
+        from mlx_vae_tpu.chem.descriptors import clogp, mol_weight, tpsa
+        from mlx_vae_tpu.chem.smiles import perceive_aromaticity
+        from mlx_vae_tpu.data.prepare import decode_tokens
+        fns = {"tpsa": tpsa, "logp": clogp, "mw": mol_weight}
+        vals = {k: [] for k in prop_keys}
+        n_dec = 0
+        for t in toks:
+            s = decode_tokens(t, alphabet)
+            mol = selfies_to_mol(s) if s else None
+            if mol is None:
+                continue
+            n_dec += 1
+            perceive_aromaticity(mol)
+            for k in prop_keys:
+                vals[k].append(fns[k](mol))
+        return n_dec, {k: np.asarray(v) for k, v in vals.items()}
+
     fused = pallas_generate_supported(mcfg, args.batch_size,
                                       greedy=False)
     results = []
     for target in args.targets:
-        cond = jnp.full((args.batch_size, 1),
-                        float((target - mean[0, 0]) / std[0, 0]), jnp.float32)
+        # Sweep property 0; hold the rest at their corpus means (z-score 0).
+        cond = jnp.zeros((args.batch_size, len(prop_keys)), jnp.float32)
+        cond = cond.at[:, 0].set(float((target - mean[0, 0]) / std[0, 0]))
         z = jax.random.normal(jax.random.PRNGKey(0),
                               (args.batch_size, mcfg.latent_dim))
         gen = pallas_generate if fused else generate_with_temperature
         toks = np.asarray(gen(dec, mcfg, z, cond, jax.random.PRNGKey(1),
                               max_length=args.max_length,
                               temperature=args.temperature))
-        if args.chem:
+        if args.chem and len(prop_keys) > 1:
+            n_dec, desc = achieved_descriptors(toks)
+            if n_dec == 0:
+                sys.exit("nothing decoded — wrong checkpoint/corpus pairing?")
+            swept = desc[prop_keys[0]]
+            row = {"target": target,
+                   "swept_property": prop_keys[0],
+                   "decoded": n_dec,
+                   "decode_rate": n_dec / len(toks),
+                   "achieved_mean": float(swept.mean()),
+                   "achieved_std": float(swept.std()),
+                   "mae": float(np.abs(swept - target).mean()),
+                   "held_properties": {},
+                   "backend": "vendored-ertl"}
+            for i, k in enumerate(prop_keys[1:], start=1):
+                held_target = float(mean[0, i])   # z-score 0 = corpus mean
+                row["held_properties"][k] = {
+                    "held_at": held_target,
+                    "achieved_mean": float(desc[k].mean()),
+                    "achieved_std": float(desc[k].std()),
+                    "mae": float(np.abs(desc[k] - held_target).mean()),
+                }
+            results.append(row)
+        elif args.chem:
             mm = molecule_metrics(toks, alphabet, target_tpsa=target,
                                   sample=len(toks))
             if mm is None or "tpsa_mean" not in mm:

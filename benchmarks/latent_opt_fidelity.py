@@ -15,6 +15,12 @@ corpus:
 
     python benchmarks/latent_opt_fidelity.py \
         --checkpoint ckpt/checkpoint_best.npz --data d.json
+
+``--chem``: ground truth is REAL chemistry instead — decode each generated
+row as SELFIES -> molecule (vendored backend, ``mlx_vae_tpu/chem``) and
+measure Ertl TPSA of the decoded structures (the reference's conditioning
+property). Needs a predictor checkpoint trained on a chemistry corpus
+(``prepare.py --drug_like N``) and that corpus JSON for its alphabet.
 """
 
 from __future__ import annotations
@@ -43,8 +49,18 @@ def main():
     ap.add_argument("--opt_steps", type=int, default=300)
     ap.add_argument("--opt_lr", type=float, default=0.05)
     ap.add_argument("--prior_weight", type=float, default=0.01)
-    ap.add_argument("--output", default="benchmarks/latent_opt_fidelity.json")
+    ap.add_argument("--chem", action="store_true",
+                    help="score decoded molecules with the vendored "
+                         "chemistry backend (Ertl TPSA) instead of the "
+                         "synthetic token formula")
+    ap.add_argument("--output", default=None,
+                    help="default: benchmarks/latent_opt_fidelity.json, "
+                         "or ..._chem.json under --chem")
     args = ap.parse_args()
+    if args.output is None:
+        args.output = ("benchmarks/latent_opt_fidelity_chem.json"
+                       if args.chem else
+                       "benchmarks/latent_opt_fidelity.json")
 
     from mlx_vae_tpu.cli.generate import infer_model_shape
     from mlx_vae_tpu.config import ModelConfig
@@ -67,6 +83,16 @@ def main():
     train_ds, _, _, _ = load_and_split(args.data)
     mean, std = train_ds.properties_mean, train_ds.properties_std
 
+    alphabet = None
+    if args.chem:
+        from mlx_vae_tpu.data.prepare import decode_tokens  # noqa: F401
+        from mlx_vae_tpu.chem import mol_to_smiles  # backend presence check
+        with open(args.data) as f:
+            alphabet = json.load(f).get("alphabet")
+        if not alphabet:
+            raise SystemExit("--chem needs a corpus JSON with an 'alphabet' "
+                             "(prepare.py --drug_like / --smiles)")
+
     fused = pallas_generate_supported(mcfg, args.batch_size, greedy=False)
     gen = pallas_generate if fused else generate_with_temperature
     opt = jax.jit(lambda z, t: optimize_latent(
@@ -74,6 +100,21 @@ def main():
         prior_weight=args.prior_weight))
 
     def achieved(toks):
+        if args.chem:
+            from mlx_vae_tpu.chem import selfies_to_mol, tpsa
+            from mlx_vae_tpu.chem.smiles import perceive_aromaticity
+            from mlx_vae_tpu.data.prepare import decode_tokens
+            vals = []
+            for t in toks:
+                s = decode_tokens(t, alphabet)
+                mol = selfies_to_mol(s) if s else None
+                if mol is None:
+                    continue
+                # SELFIES decode emits kekulized structures; Ertl TPSA
+                # distinguishes aromatic N/O (same as data/metrics.py).
+                perceive_aromaticity(mol)
+                vals.append(tpsa(mol))
+            return np.array(vals)
         return np.array([synthetic_tpsa(t, mcfg.vocab_size) for t in toks])
 
     results = []
@@ -95,6 +136,9 @@ def main():
         pred_after = float(np.asarray(info["pred_final"]).mean()
                            * std[0, 0] + mean[0, 0])
 
+        if args.chem and (len(base) == 0 or len(tuned) == 0):
+            raise SystemExit("--chem: nothing decoded; wrong checkpoint/"
+                             "corpus pairing?")
         row = {
             "target": target,
             "conditional": {"achieved_mean": float(base.mean()),
@@ -105,6 +149,10 @@ def main():
                           "mae": float(np.abs(tuned - target).mean()),
                           "surrogate_pred_after": pred_after},
         }
+        if args.chem:
+            row["conditional"]["decoded"] = int(len(base))
+            row["optimized"]["decoded"] = int(len(tuned))
+            row["backend"] = "vendored-ertl"
         results.append(row)
         print(f"target {target:6.1f}: conditional {base.mean():6.1f} "
               f"± {base.std():5.1f} (MAE {row['conditional']['mae']:5.1f}) | "
