@@ -57,6 +57,52 @@ def _vmem_estimate(cfg, BB: int) -> int:
     return weights + dW + streams + scratch
 
 
+def _fwd_frame_bytes(cfg, BB: int) -> int:
+    """Estimated VMEM frame of the forward kernel (weights + out blocks +
+    scratch), for the raise-the-limit decision below."""
+    H, E, n = cfg.hidden_dim, cfg.embedding_dim, cfg.num_layers
+    Vp = _round_up(cfg.vocab_size, 128)
+    K0 = _round_up(E, 128)
+    wb = 2 if cfg.compute_dtype == "bfloat16" else 4
+    weights = (Vp * E + (K0 + H) * 4 * H + max(n - 1, 1) * 2 * H * 4 * H) * wb \
+        + n * 4 * H * 4
+    streams = n * BB * 6 * H * wb        # hs, cs, gs out blocks
+    scratch = 2 * n * BB * H * 4
+    return weights + streams + scratch + BB * H * 4
+
+
+def _bwd_frame_bytes(cfg, BB: int) -> int:
+    """Estimated VMEM frame of the backward kernel. Dominated by the f32
+    weight-gradient accumulators, which are FIXED-cost (independent of BB):
+    at H=512/n=2 they alone are 13.7MB, which is why the backward blows the
+    compiler's default 16MB scoped-vmem limit while the forward fits
+    (measured: 17.81MB frame at H=512/n=2/BB=256 on v5e)."""
+    H, E, n = cfg.hidden_dim, cfg.embedding_dim, cfg.num_layers
+    Vp = _round_up(cfg.vocab_size, 128)
+    K0 = _round_up(E, 128)
+    wb = 2 if cfg.compute_dtype == "bfloat16" else 4
+    dW = ((K0 + H) * 4 * H + max(n - 1, 1) * 2 * H * 4 * H + n * 4 * H
+          + Vp * E) * 4
+    streams = n * BB * 8 * H * wb        # hs, cs, gs, hs_prev, cs_prev blocks
+    scratch = 2 * n * BB * H * 4
+    return dW + streams + scratch + BB * H * 4
+
+
+# Margin under the XLA TPU compiler's default 16MB scoped-vmem limit. Kernels
+# whose estimated frame fits keep the default (a raised limit can send the
+# compiler down a pathologically slow path for mid-size shapes — see
+# ops/pallas_decoder.py); larger frames get the explicit 112MB cap the other
+# kernel families use.
+_DEFAULT_SCOPED_LIMIT = 14 * 1024 * 1024
+
+
+def _frame_params_kw(frame_bytes: int) -> dict:
+    if frame_bytes > _DEFAULT_SCOPED_LIMIT:
+        return {"compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024)}
+    return {}
+
+
 def pallas_encoder_supported(cfg, batch: int) -> bool:
     if cfg.bidirectional or cfg.apply_dropout:
         return False
@@ -267,6 +313,7 @@ def _enc_fwd(params, cfg, tokens, interpret):
         ),
         scratch_shapes=[pltpu.VMEM((n, BB, H), jnp.float32)] * 2,
         interpret=interpret,
+        **_frame_params_kw(_fwd_frame_bytes(cfg, BB)),
     )(toks_t, emb, w0, wr, bs)
 
     h_last, hs, cs, gs = outs
@@ -331,6 +378,7 @@ def _enc_bwd_rule(cfg, interpret, residuals, dh_last):
         ),
         scratch_shapes=[pltpu.VMEM((n, BB, H), jnp.float32)] * 2,
         interpret=interpret,
+        **_frame_params_kw(_bwd_frame_bytes(cfg, BB)),
     )(dh_last.astype(jnp.float32), toks_t, hs, cs, gs, hs, cs, emb, w0, wr)
 
     dw0, dwr, dbs, demb = outs

@@ -513,6 +513,32 @@ class TestFusedEncoderStack:
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        rtol=1e-4, atol=1e-4)
 
+    def test_scoped_vmem_limit_raised_only_for_large_frames(self):
+        """The encoder backward's f32 dW accumulators are fixed-cost; at
+        H=512 they blow the Mosaic compiler's default 16MB scoped-vmem
+        limit (measured 17.81MB frame on v5e — real compile failure,
+        round 4) while the default config fits comfortably. The raise
+        decision must hit exactly the shapes that need it: an always-on
+        raised limit regresses mid-shape compile times
+        (ops/pallas_decoder.py)."""
+        from mlx_vae_tpu.config import ModelConfig
+        from mlx_vae_tpu.ops.pallas_encoder import (_bwd_frame_bytes,
+                                                    _frame_params_kw,
+                                                    _fwd_frame_bytes)
+        from mlx_vae_tpu.ops.pallas_train_decoder import _block_rows
+
+        def decisions(H, n, B):
+            cfg = ModelConfig(hidden_dim=H, num_layers=n,
+                              compute_dtype="bfloat16")
+            BB = _block_rows(H, n, B)
+            return (bool(_frame_params_kw(_fwd_frame_bytes(cfg, BB))),
+                    bool(_frame_params_kw(_bwd_frame_bytes(cfg, BB))))
+
+        assert decisions(256, 2, 1024) == (False, False)  # default config
+        assert decisions(384, 2, 1024) == (False, False)  # verify-skill tier
+        assert decisions(512, 2, 256) == (False, True)    # the crash shape
+        assert decisions(512, 4, 256) == (True, True)
+
 
 @pytest.mark.slow
 def test_stochastic_sampling_statistics():
