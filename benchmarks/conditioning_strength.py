@@ -10,14 +10,24 @@ stronger KL/property signal, wider conditioning, and 10x data.
 
 Each arm is a full ``train.py`` run on the chip followed by
 ``benchmarks/conditioning_fidelity.py --chem`` (decoded Ertl TPSA of 2048
-molecules per target, vendored backend). This script merges the per-arm
-fidelity JSONs, fits the achieved-vs-target response slope (least squares;
+molecules per target, vendored backend) and, optionally,
+``benchmarks/prior_mismatch_probe.py`` (aggregate-posterior vs prior
+match + prior/posterior decode rates). This script merges the per-arm
+JSONs, fits the achieved-vs-target response slope (least squares;
 slope 1.0 = perfect conditioning, 0.0 = condition ignored), and writes
 ``benchmarks/conditioning_strength_study.json``.
+
+Headline finding (full narrative in docs/DESIGN.md "Conditioning-strength
+study"): the study's arms must be evaluated at a FIXED epoch, because
+under beta annealing the reference's val_loss-selected checkpoint_best
+lands on epoch 0 for richly-conditioned configs — the study therefore
+records which checkpoint each arm was probed at (``checkpoint=``), and
+the B_best/B_final pair quantifies the artifact itself.
 
 Usage:
     python benchmarks/conditioning_strength.py \
         --arm label=A config="50ep b256 beta0.05" fid=/tmp/chemfid_A.json \
+              probe=/tmp/probe_A.json checkpoint=best@ep44 \
         --arm label=C config="200ep beta0.2 lambda0.5" fid=/tmp/chemfid_C.json
 """
 
@@ -63,11 +73,25 @@ def main():
                 sum(r.get("decode_rate", 1.0) for r in rows) / len(rows), 4),
             "targets": rows,
         }
-        arm.update(meta)  # notes etc.
+        probe_path = meta.pop("probe", None)
+        if probe_path:
+            probe = json.load(open(probe_path))
+            arm["prior_match"] = {
+                "mean_abs_mu": probe["posterior"]["mean_abs_mu"],
+                "std_mu": probe["posterior"]["std_mu"],
+                "mean_sigma": probe["posterior"]["mean_sigma"],
+                "prior_decode_rate": probe["prior_z"]["decode_rate"],
+                "posterior_decode_rate": probe["posterior_z"]["decode_rate"],
+            }
+        arm.update(meta)  # notes, checkpoint, etc.
         arms.append(arm)
+        pm = arm.get("prior_match", {})
+        prior_dec = (f"prior-dec {pm['prior_decode_rate']:.2f}"
+                     if pm else "prior-dec   — ")
         print(f"{arm['label']:>8}  slope {slope:5.2f}  "
               f"MAE {arm['mean_mae']:6.2f}  "
-              f"decode {arm['decode_rate']:.2f}   {arm['config']}")
+              f"decode {arm['decode_rate']:.2f}  {prior_dec}   "
+              f"{arm['config']}")
 
     out = {
         "study": "real-chemistry conditioning strength (decoded Ertl TPSA "

@@ -21,10 +21,16 @@ using the scan sampler on CPU or TPU (whatever backend is live) and the
 vendored chemistry backend for decoding.
 
 Found via this probe (docs/DESIGN.md "Conditioning-strength study"): a
-3-condition model whose val loss BEAT the 1-condition baseline (0.99 vs
-1.87) had prior decode 0.24 / posterior decode 1.00 — richer conditioning
-lets z pick up real structure at low beta, which silently breaks prior
-sampling while every training metric looks better.
+3-condition model's val_loss-selected ``checkpoint_best`` had prior
+decode 0.30 / posterior decode 1.00 (mean |mu| 1.35, sigma 0.37) — but
+the SAME run's final-epoch checkpoint probes healthy (prior decode 1.00,
+|mu| 0.08). The mismatch is real and the probe detects it, but it lives
+at epoch 0: under beta annealing, val_loss (which includes the growing
+beta*KL term) is minimized before the anneal bites, and with rich
+conditioning the epoch-0 val_loss beats every later epoch, so reference
+best-val selection silently ships the pre-anneal model. Remedy:
+``--best_metric val_recon`` (cli/train.py), which compares a
+beta-independent series.
 
 Usage:
     python benchmarks/prior_mismatch_probe.py \
