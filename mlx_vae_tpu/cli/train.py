@@ -18,6 +18,7 @@ unavailable — it is shipped by neither repo).
 from __future__ import annotations
 
 import argparse
+import sys
 from pathlib import Path
 
 import jax
@@ -315,6 +316,11 @@ def main(argv=None):
     finally:
         trainer.join_saves()  # land any in-flight async checkpoint write
     trainer.plot_history(save_path=f"{args.checkpoint_dir}/training_history.png")
+
+    from mlx_vae_tpu.train.history import anneal_best_warning
+    warning = anneal_best_warning(trainer.history, args.best_metric)
+    if warning:
+        print(warning, file=sys.stderr)
 
     if args.eval_test:
         # Under an actual mesh partial batches are dropped (shapes must

@@ -15,6 +15,7 @@ npz, like the reference's ``np.savez`` of MLX ``parameters()`` dicts).
 from __future__ import annotations
 
 import os
+import sys
 from pathlib import Path
 from typing import Optional
 
@@ -118,6 +119,42 @@ def _is_mlx_optimizer_state(state: dict) -> bool:
     return isinstance(state, dict) and set(state) != {"step", "m", "v"}
 
 
+def stale_best_notice(path, epoch: int) -> Optional[str]:
+    """Notice when ``checkpoint_best.npz`` is far older than its siblings.
+
+    Under beta annealing the reference's val_loss-based best selection can
+    land on a pre-anneal epoch whose prior sampling is broken (measured:
+    benchmarks/conditioning_strength_study.json, arm B_best = epoch 0,
+    prior decode 0.28 vs 1.00 at the same run's final epoch). Every
+    checkpoint consumer (generate/encode/serve/optimize/interpolate
+    default to checkpoint_best) gets this cheap filename-level check: warn
+    when sibling ``checkpoint_epoch_*.npz`` files show the run continued
+    at least 5 epochs AND twice as long past the loaded "best" epoch.
+    """
+    p = Path(path)
+    if p.name != "checkpoint_best.npz":
+        return None
+    sibling_epochs = []
+    for s in p.parent.glob("checkpoint_epoch_*.npz"):
+        try:
+            sibling_epochs.append(int(s.stem.rsplit("_", 1)[1]))
+        except ValueError:
+            continue
+    if not sibling_epochs:
+        return None
+    last = max(sibling_epochs)
+    if last - epoch < 5 or (epoch + 1) * 2 > last + 1:
+        return None
+    return (
+        f"note: {p} is epoch {epoch}, but sibling checkpoints in "
+        f"{p.parent} reach epoch {last}. If this run annealed beta, "
+        "val_loss-selected 'best' checkpoints from early epochs can have "
+        "prior-mismatched posteriors that break sampling — consider "
+        f"checkpoint_epoch_{last:03d}.npz or retraining with "
+        "--best_metric val_recon."
+    )
+
+
 def load_checkpoint(path) -> dict:
     """Load an .npz checkpoint -> dict with device-array params/opt states.
 
@@ -160,6 +197,9 @@ def load_checkpoint(path) -> dict:
         "alphabet": [str(t) for t in raw["alphabet"]]
         if "alphabet" in raw else None,
     }
+    notice = stale_best_notice(path, out["epoch"])
+    if notice:
+        print(notice, file=sys.stderr)
     return out
 
 

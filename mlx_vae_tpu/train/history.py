@@ -23,6 +23,47 @@ def make_history() -> dict:
     return {k: [] for k in HISTORY_KEYS}
 
 
+def anneal_best_warning(history: dict, best_metric: str = "val_loss"):
+    """Warn when best-val selection landed on a pre-anneal epoch.
+
+    Under beta annealing, val_loss includes the *growing* beta*KL term, so
+    its minimum can land before the anneal bites — for richly-conditioned
+    or latent-heavy configs it lands on epoch 0/1, whose posterior is
+    prior-mismatched and whose prior sampling is broken even though every
+    training metric looks fine (measured:
+    benchmarks/conditioning_strength_study.json arm B_best, prior decode
+    0.28 at best@ep0 vs 1.00 at the final epoch of the same run).
+
+    Returns a warning string when ``best_metric`` is the reference's
+    val_loss, its argmin epoch is not the last, and beta at that epoch was
+    below half the final beta; otherwise None. val_recon is
+    beta-independent, so no warning applies.
+    """
+    if best_metric != "val_loss":
+        return None
+    series = history.get(best_metric) or []
+    betas = history.get("beta") or []
+    if len(series) < 2 or len(betas) != len(series):
+        return None
+    best = min(range(len(series)), key=series.__getitem__)
+    final_beta = betas[-1]
+    if final_beta <= 0 or best == len(series) - 1:
+        return None
+    if betas[best] >= 0.5 * final_beta:
+        return None
+    return (
+        f"WARNING: checkpoint_best is epoch {best} of {len(series)}, "
+        f"selected while beta was still annealing (beta {betas[best]:.4f} "
+        f"there vs {final_beta:.4f} at the end). val_loss includes the "
+        "growing beta*KL term, so it favors pre-anneal epochs whose "
+        "posterior may not match the prior — generation from this "
+        "checkpoint can collapse to fragments while train/val losses look "
+        "fine. Prefer --best_metric val_recon, or generate from the last "
+        "checkpoint_epoch_*.npz "
+        "(benchmarks/conditioning_strength_study.json, arms B_best/B_final)."
+    )
+
+
 def save_history(history: dict, path) -> None:
     history_path = Path(path) / "training_history.json"
     with open(history_path, "w") as f:

@@ -76,3 +76,77 @@ def test_rejects_unknown_metric(tmp_path):
     from mlx_vae_tpu.cli.train import main
     with pytest.raises(SystemExit):
         main(["--data", "x.json", "--best_metric", "val_banana"])
+
+
+# --- pre-anneal best-checkpoint warnings (the conditioning-strength-study
+#     artifact: benchmarks/conditioning_strength_study.json B_best/B_final) ---
+
+def _hist(val_loss, beta):
+    return {"val_loss": list(val_loss), "beta": list(beta)}
+
+
+class TestAnnealBestWarning:
+    def test_warns_when_best_is_pre_anneal(self):
+        from mlx_vae_tpu.train.history import anneal_best_warning
+        # arm-B shape: val_loss minimum at epoch 0 while beta ramps 0->0.2
+        h = _hist([0.9, 1.0, 1.1, 1.2], [0.0, 0.07, 0.13, 0.2])
+        msg = anneal_best_warning(h, "val_loss")
+        assert msg is not None and "epoch 0" in msg
+
+    def test_quiet_when_best_is_post_anneal(self):
+        from mlx_vae_tpu.train.history import anneal_best_warning
+        # arm-A shape: best near the end, beta nearly final there
+        h = _hist([2.0, 1.5, 1.2, 1.3], [0.0, 0.02, 0.045, 0.05])
+        assert anneal_best_warning(h, "val_loss") is None
+
+    def test_quiet_without_annealing(self):
+        from mlx_vae_tpu.train.history import anneal_best_warning
+        h = _hist([2.0, 1.0, 1.5], [0.0, 0.0, 0.0])
+        assert anneal_best_warning(h, "val_loss") is None
+
+    def test_quiet_for_val_recon(self):
+        from mlx_vae_tpu.train.history import anneal_best_warning
+        h = _hist([0.9, 1.0, 1.1], [0.0, 0.1, 0.2])
+        assert anneal_best_warning(h, "val_recon") is None
+
+    def test_quiet_when_best_is_last_epoch(self):
+        from mlx_vae_tpu.train.history import anneal_best_warning
+        h = _hist([2.0, 1.5, 1.0], [0.0, 0.1, 0.2])
+        assert anneal_best_warning(h, "val_loss") is None
+
+
+class TestStaleBestNotice:
+    def _dir(self, tmp_path, best_epoch, sibling_epochs):
+        np.savez(tmp_path / "checkpoint_best.npz", epoch=best_epoch)
+        for e in sibling_epochs:
+            (tmp_path / f"checkpoint_epoch_{e:03d}.npz").write_bytes(b"")
+        return tmp_path / "checkpoint_best.npz"
+
+    def test_notices_epoch0_best_of_long_run(self, tmp_path):
+        from mlx_vae_tpu.train.checkpoint import stale_best_notice
+        p = self._dir(tmp_path, 0, [9, 19, 29, 39, 49])
+        msg = stale_best_notice(p, 0)
+        assert msg is not None and "epoch 49" in msg
+
+    def test_quiet_when_best_is_near_final(self, tmp_path):
+        from mlx_vae_tpu.train.checkpoint import stale_best_notice
+        p = self._dir(tmp_path, 44, [9, 19, 29, 39, 49])
+        assert stale_best_notice(p, 44) is None
+
+    def test_quiet_without_siblings(self, tmp_path):
+        from mlx_vae_tpu.train.checkpoint import stale_best_notice
+        np.savez(tmp_path / "checkpoint_best.npz", epoch=0)
+        assert stale_best_notice(tmp_path / "checkpoint_best.npz", 0) is None
+
+    def test_quiet_for_non_best_filenames(self, tmp_path):
+        from mlx_vae_tpu.train.checkpoint import stale_best_notice
+        self._dir(tmp_path, 0, [49])
+        assert stale_best_notice(
+            tmp_path / "checkpoint_epoch_000.npz", 0) is None
+
+    def test_load_checkpoint_prints_notice(self, tmp_path, capsys):
+        from mlx_vae_tpu.train.checkpoint import load_checkpoint
+        p = self._dir(tmp_path, 0, [9, 19, 29, 39, 49])
+        load_checkpoint(p)
+        err = capsys.readouterr().err
+        assert "sibling checkpoints" in err and "epoch 49" in err
