@@ -206,6 +206,7 @@ class GenerationService:
 
         self._pending = collections.deque()
         self._cv = threading.Condition()
+        self._closed = False
         self._stats = {"device_passes": 0, "jobs": 0, "coalesced_jobs": 0}
         self._dispatcher = threading.Thread(target=self._dispatch_loop,
                                             daemon=True)
@@ -250,11 +251,31 @@ class GenerationService:
         return (self._can_coalesce[job.greedy]
                 and self._padded(job.n) <= self.co_tiers[-1])
 
+    def close(self, timeout: float = 30.0):
+        """Stop the dispatcher thread. Queued-but-unstarted jobs fail with
+        an error (their clients unblock) rather than hanging; the thread is
+        joined so a closed service pins no jitted programs via a live
+        frame (tests build many services per process)."""
+        with self._cv:
+            if self._closed:
+                return
+            self._closed = True
+            drained = list(self._pending)
+            self._pending.clear()
+            self._cv.notify_all()
+        for j in drained:
+            j.error = RuntimeError("service closed")
+            j.done.set()
+        if self._dispatcher is not threading.current_thread():
+            self._dispatcher.join(timeout)
+
     def _dispatch_loop(self):
         while True:
             with self._cv:
-                while not self._pending:
+                while not self._pending and not self._closed:
                     self._cv.wait()
+                if self._closed:
+                    return
                 job = self._pending.popleft()
                 group = [job]
                 if self._eligible(job):
@@ -456,6 +477,8 @@ class GenerationService:
 
         job = _Job(n, greedy, temperature, tn, key)
         with self._cv:
+            if self._closed:
+                raise ValueError("service closed")
             self._pending.append(job)
             self._cv.notify()
         job.done.wait()
@@ -553,6 +576,7 @@ def serve_forever(args, ready_event=None):
         pass
     finally:
         server.server_close()
+        service.close()
 
 
 def main(argv=None):

@@ -13,6 +13,8 @@ os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
 
+import gc  # noqa: E402
+
 import jax  # noqa: E402
 
 # Plugin environments (e.g. the axon TPU terminal) force their platform via
@@ -38,6 +40,23 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         if "slow" in item.keywords:
             item.add_marker(skip)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_compiled_programs_between_modules():
+    """Clear jax's compiled-executable caches after each test module.
+
+    One pytest process compiles thousands of XLA:CPU programs across the
+    full tier; each live executable pins JIT code pages (several mmap'd
+    VMAs apiece), and the process eventually exhausts ``vm.max_map_count``
+    (default 65530) — LLVM's JIT then segfaults on the next big compile
+    (observed deterministically in the --runslow tier's final module).
+    Cross-module program reuse is nil, so the only cost is an occasional
+    recompile of shared helpers.
+    """
+    yield
+    jax.clear_caches()
+    gc.collect()
 
 
 @pytest.fixture(scope="session")

@@ -282,3 +282,30 @@ def test_checkpoint_without_alphabet(tmp_path):
         assert h["alphabet_size"] == 0
     finally:
         ready.server.shutdown()
+
+
+def test_service_close_stops_dispatcher(tmp_path):
+    """close() joins the dispatcher thread, makes further generate()
+    calls fail fast, and is idempotent — services built by tests must
+    not leak live threads pinning jitted programs for the whole run."""
+    from mlx_vae_tpu.cli.serve import GenerationService
+    from mlx_vae_tpu.models.vae import ARCVAE
+    from mlx_vae_tpu.train.checkpoint import save_checkpoint
+    from mlx_vae_tpu.train.optim import adam_init
+
+    vae = ARCVAE(MCFG, jax.random.PRNGKey(2))
+    ck = tmp_path / "ck.npz"
+    save_checkpoint(ck, 0, vae.params,
+                    {k: adam_init(v) for k, v in vae.params.items()}, {})
+    args = build_parser().parse_args([
+        "--checkpoint", str(ck), "--port", "0", "--batch_size", "8",
+        "--max_length", "8", "--no_normalize"])
+    svc = GenerationService(args)
+    assert svc._dispatcher.is_alive()
+    assert svc.generate({"num_molecules": 2, "target": [0.0, 0.0],
+                         "return_tokens": True})["num_molecules"] == 2
+    svc.close()
+    assert not svc._dispatcher.is_alive()
+    with pytest.raises(ValueError, match="service closed"):
+        svc.generate({"num_molecules": 1, "target": [0.0, 0.0]})
+    svc.close()  # idempotent
