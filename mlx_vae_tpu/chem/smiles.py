@@ -249,17 +249,10 @@ def kekulize(mol: Mol) -> None:
     double = {(min(u, v), max(u, v)) for u, v in matched.items()}
     for k in arom_bonds:
         mol.set_bond_order(*k, 2.0 if k in double else 1.0)
-
-    # Pyrrole-type heteroatoms written without explicit H (rare but legal
-    # in some generators' output, e.g. plain "n" with 2 neighbors that we
-    # classified as pyridine-type already have their double bond; the
-    # remaining 2-degree no-double heteroatoms need their H pinned so the
-    # implicit-H rule doesn't add one to a pyridine N etc.)
-    for i in arom_atoms:
-        a = mol.atoms[i]
-        if (a.element == "N" and a.explicit_h is None and not need[i]
-                and a.charge == 0 and mol.degree(i) == 2):
-            a.explicit_h = 1
+    # Note: a neutral 2-degree aromatic N without an explicit H is always
+    # classified pyridine-type above (rdkit parity: pyrrole MUST be
+    # written [nH]; plain-n pyrrole fails the matching and raises
+    # "no Kekulé structure" rather than getting an H silently pinned).
 
 
 # ----------------------------------------------------- aromaticity percept

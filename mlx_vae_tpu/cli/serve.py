@@ -54,7 +54,9 @@ from __future__ import annotations
 
 import argparse
 import collections
+import functools
 import json
+import math
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -62,6 +64,67 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+# ---- pass planning (pure; unit-tested directly) ----
+
+def _cover(rem: int, options: tuple) -> list:
+    """Minimal covering of ``rem`` units by tier passes: DP over
+    ``options`` of ``(units, rows, tier)`` minimizing lexicographic
+    (total device rows, number of passes) with mixed tiers allowed —
+    e.g. tiers [8, 32, 128] cover 68 rows as 32+32+8 (3 passes), not
+    nine 8-row passes (the homogeneous covering with equal rows but 3x
+    the per-pass relay round-trips). Units are scaled by their gcd so
+    the DP length is tiers-granular, not row-granular."""
+    g = 0
+    for u, _, _ in options:
+        g = math.gcd(g, u)
+    need = -(-rem // g)
+    opts = [(u // g, r, t) for u, r, t in options]
+    inf = float("inf")
+    best = [(0, 0, None, 0)] + [(inf, inf, None, 0)] * need
+    for x in range(1, need + 1):
+        b = (inf, inf, None, 0)
+        for u, r, t in opts:
+            prev = best[max(0, x - u)]
+            cand = (prev[0] + r, prev[1] + 1, t, max(0, x - u))
+            if cand[:2] < b[:2]:
+                b = cand
+        best[x] = b
+    out, x = [], need
+    while x > 0:
+        _, _, t, x = best[x]
+        out.append(t)
+    return sorted(out, reverse=True)
+
+
+@functools.lru_cache(maxsize=4096)
+def plan_cover(n: int, tiers: tuple) -> tuple:
+    """Decompose an n-row job into warm-tier passes minimizing
+    (total device rows, passes): the largest tier while it fits wholly,
+    then the cheapest (possibly mixed-tier) covering of the remainder."""
+    big = tiers[-1]
+    passes, rem = [], n
+    while rem >= big:
+        passes.append(big)
+        rem -= big
+    if rem:
+        passes.extend(_cover(rem, tuple((t, t, t) for t in tiers)))
+    return tuple(passes)
+
+
+@functools.lru_cache(maxsize=4096)
+def plan_cover_blocks(nblocks: int, co_tiers: tuple, chunk: int) -> tuple:
+    """Same economy in chunk-block units for the coalesced path."""
+    caps = {t: t // chunk for t in co_tiers}
+    big = co_tiers[-1]
+    plan, rem = [], nblocks
+    while rem >= caps[big]:
+        plan.append(big)
+        rem -= caps[big]
+    if rem:
+        plan.extend(_cover(rem, tuple((caps[t], t, t) for t in co_tiers)))
+    return tuple(plan)
 
 
 def build_parser():
@@ -204,6 +267,29 @@ class GenerationService:
         # dominate multi-pass bulk requests.
         self.preps = {t: make_prep(t) for t in tiers}
 
+        # Coalesced-path canonical block streams as ONE jitted program:
+        # computes every (z, seed) block a job could need (the largest
+        # coalescible tier's worth; _block_streams slices the first nb).
+        # The vmapped PRNG math is bitwise-identical to the per-block
+        # eager fold_in/split/normal/randint it replaces, at 1 dispatch
+        # instead of ~4 per block. Over-computing to the cap is free next
+        # to one relay round trip (cap rows of normals is ~1MB of VPU
+        # work).
+        if self.co_tiers:
+            cap_blocks = self.co_tiers[-1] // self.chunk
+
+            def streams(key):
+                def one(b):
+                    kz, kg = jax.random.split(jax.random.fold_in(key, b))
+                    return (jax.random.normal(
+                                kz, (self.chunk, self.cfg.latent_dim),
+                                jnp.float32),
+                            jax.random.randint(kg, (), 0,
+                                               np.iinfo(np.int32).max,
+                                               jnp.int32))
+                return jax.vmap(one)(jnp.arange(cap_blocks))
+            self._streams = jax.jit(streams)
+
         self._pending = collections.deque()
         self._cv = threading.Condition()
         self._closed = False
@@ -220,29 +306,20 @@ class GenerationService:
                            np.zeros((1, self.cfg.num_conditions), np.float32),
                            jax.random.PRNGKey(0))
                 self._run_solo(job, forced_tier=t)
+        if self.co_tiers:  # the coalesced-path stream program too
+            jax.block_until_ready(self._streams(jax.random.PRNGKey(0)))
         print(f"Warmed {len(self.fns)} sampler programs "
               f"(tiers {self.tiers} x stochastic+greedy) in "
               f"{time.perf_counter() - t0:.1f}s")
 
-    # ---- planning helpers (pure; unit-tested directly) ----
+    # ---- planning helpers ----
 
     def _padded(self, n: int) -> int:
         return -(-n // self.chunk) * self.chunk
 
     def plan_passes(self, n: int) -> list[int]:
-        """Decompose an n-molecule job into warm-tier passes minimizing
-        total device rows: largest tier while it fits wholly, then the
-        cheapest covering of the remainder (e.g. tiers [256, 8192] with
-        n=300 -> two 256-row passes, not one 8192-row pass)."""
-        passes, rem = [], n
-        big = self.tiers[-1]
-        while rem >= big:
-            passes.append(big)
-            rem -= big
-        if rem:
-            t = min(self.tiers, key=lambda t: (-(-rem // t) * t, t))
-            passes.extend([t] * (-(-rem // t)))
-        return passes
+        """Warm-tier pass decomposition for n molecules (see plan_cover)."""
+        return list(plan_cover(n, tuple(self.tiers)))
 
     # ---- dispatcher ----
 
@@ -314,33 +391,24 @@ class GenerationService:
         block ``b`` of a job is a pure function of (job.key, b) — identical
         content, PRNG seed and temperature whichever device pass or batch
         offset ends up executing it. This is what makes a request's tokens
-        bitwise invariant to coalescing and pass partitioning."""
+        bitwise invariant to coalescing and pass partitioning.
+
+        All blocks come from ONE jitted program (``_streams``, compiled for
+        the largest coalescible tier's block count and sliced) — per-block
+        eager PRNG ops would cost ~4 dispatches per block through the
+        ~55ms-RTT relay, dominating small-request latency on the serving
+        hot path. The vmapped in-program computation is bitwise identical
+        to per-block ``fold_in -> split -> normal/randint`` calls (counter
+        -based PRF; pinned by tests/test_serve.py's invariance test)."""
         nb = -(-job.n // self.chunk)
-        zs, seeds = [], []
-        for b in range(nb):
-            kz, kg = jax.random.split(jax.random.fold_in(job.key, b))
-            zs.append(jax.random.normal(
-                kz, (self.chunk, self.cfg.latent_dim), jnp.float32))
-            seeds.append(jax.random.randint(kg, (), 0,
-                                            np.iinfo(np.int32).max,
-                                            jnp.int32))
-        return zs, seeds
+        z_all, seeds_all = self._streams(job.key)
+        return z_all[:nb].reshape(nb * self.chunk, -1), seeds_all[:nb], nb
 
     def _plan_blocks(self, nblocks: int) -> list[int]:
-        """Partition ``nblocks`` chunk-blocks into coalescible-tier passes
-        minimizing total device rows (largest tier while it fills, then the
-        cheapest covering of the remainder)."""
-        caps = {t: t // self.chunk for t in self.co_tiers}
-        big = self.co_tiers[-1]
-        plan, rem = [], nblocks
-        while rem >= caps[big]:
-            plan.append(big)
-            rem -= caps[big]
-        if rem:
-            t = min(self.co_tiers,
-                    key=lambda t: (-(-rem // caps[t]) * t, t))
-            plan.extend([t] * (-(-rem // caps[t])))
-        return plan
+        """Coalescible-tier pass plan for nblocks chunk-blocks (see
+        plan_cover_blocks)."""
+        return list(plan_cover_blocks(nblocks, tuple(self.co_tiers),
+                                      self.chunk))
 
     def _run_solo(self, job, forced_tier=None):
         """Serial tiered passes for one job (also the warmup driver).
@@ -377,36 +445,54 @@ class GenerationService:
         """Serve every job in ``group`` (same greedy flag) through
         block-partitioned device passes: each job's canonical chunk-blocks
         are laid end to end, cut into coalescible-tier passes, and the
-        outputs reassembled per job."""
+        outputs reassembled per job. Each job's ``dt`` is its row-share of
+        the group's wall clock, so a response's mols_per_sec reflects the
+        request's share of device time and the per-request rates sum to
+        the true device rate across coalesced clients (previously every
+        client was charged the whole group's wall clock)."""
         t0 = time.perf_counter()
         greedy = group[0].greedy
         C = self.cfg.num_conditions
-        blocks = []  # (z [chunk,L], seed scalar, temperature, target_norm)
+        zs, seed_arrs, nbs = [], [], []
         for job in group:
-            zs, seeds = self._block_streams(job)
-            tn = jnp.broadcast_to(jnp.asarray(job.target_norm, jnp.float32),
-                                  (self.chunk, C))
-            blocks.extend((z_b, s_b, job.temperature, tn)
-                          for z_b, s_b in zip(zs, seeds))
+            z, seeds, nb = self._block_streams(job)
+            zs.append(z)
+            seed_arrs.append(seeds)
+            nbs.append(nb)
+        z_cat = zs[0] if len(zs) == 1 else jnp.concatenate(zs)
+        seeds_cat = (seed_arrs[0] if len(seed_arrs) == 1
+                     else jnp.concatenate(seed_arrs))
+        temps_cat = np.repeat(
+            np.asarray([j.temperature for j in group], np.float32), nbs)
+        cond_rows = np.repeat(
+            np.stack([np.asarray(j.target_norm, np.float32).reshape(-1)[:C]
+                      for j in group]),
+            np.asarray(nbs) * self.chunk, axis=0)
 
-        plan = self._plan_blocks(len(blocks))
-        outs, idx = [], 0
+        nblocks = int(sum(nbs))
+        plan = self._plan_blocks(nblocks)
+        outs, boff = [], 0
         for tier in plan:
             cap = tier // self.chunk
-            sel = blocks[idx:idx + cap]
-            idx += cap
-            npad = cap - len(sel)
-            z = jnp.concatenate([b[0] for b in sel] + (
-                [jnp.zeros((npad * self.chunk, self.cfg.latent_dim),
-                           jnp.float32)] if npad else []))
-            cond = jnp.concatenate([b[3] for b in sel] + (
-                [jnp.zeros((npad * self.chunk, C), jnp.float32)]
-                if npad else []))
+            nsel = min(cap, nblocks - boff)
+            r0, rows = boff * self.chunk, nsel * self.chunk
+            pad = (cap - nsel) * self.chunk
+            z = z_cat[r0:r0 + rows]
+            if pad:
+                z = jnp.concatenate(
+                    [z, jnp.zeros((pad, self.cfg.latent_dim), jnp.float32)])
+            cond = jnp.asarray(
+                np.concatenate([cond_rows[r0:r0 + rows],
+                                np.zeros((pad, C), np.float32)])
+                if pad else cond_rows[r0:r0 + rows])
             if self._fused[(tier, greedy)]:
-                seeds = jnp.stack([b[1] for b in sel]
-                                  + [jnp.int32(0)] * npad)
-                temps = jnp.asarray([b[2] for b in sel] + [1.0] * npad,
-                                    jnp.float32)
+                seeds = seeds_cat[boff:boff + nsel]
+                temps = jnp.asarray(np.concatenate(
+                    [temps_cat[boff:boff + nsel],
+                     np.ones(cap - nsel, np.float32)]))
+                if nsel < cap:
+                    seeds = jnp.concatenate(
+                        [seeds, jnp.zeros(cap - nsel, jnp.int32)])
                 toks = self.fns[(tier, greedy)](z, cond, seeds, temps)
             else:
                 # scan path: only greedy groups land here (argmax ignores
@@ -416,16 +502,18 @@ class GenerationService:
                     jnp.float32(group[0].temperature))
             if hasattr(toks, "copy_to_host_async"):
                 toks.copy_to_host_async()
-            outs.append(toks[:len(sel) * self.chunk])
+            outs.append(toks[:rows])
+            boff += nsel
 
-        rows = np.concatenate([np.asarray(t) for t in outs])
+        rows_all = np.concatenate([np.asarray(t) for t in outs])
         dt = time.perf_counter() - t0
+        total_rows = nblocks * self.chunk
         off = 0
-        for job in group:
-            r = self._padded(job.n)
-            job.tokens = rows[off:off + job.n]
+        for job, nb in zip(group, nbs):
+            r = nb * self.chunk
+            job.tokens = rows_all[off:off + job.n]
             off += r
-            job.dt = dt
+            job.dt = dt * (r / total_rows)
             job.passes = len(plan)
             job.coalesced = len(group) > 1
         self._stats["device_passes"] += len(plan)
@@ -550,6 +638,13 @@ def make_handler(service: GenerationService):
                 # handler thread dies and the client sees a connection
                 # reset instead of the JSON 400 contract.
                 self._send(400, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001
+                # Dispatcher-side failures (a device error surfaced via
+                # job.error, or close() draining queued jobs at shutdown)
+                # must still produce a JSON response — letting them escape
+                # kills the handler thread and the client sees a bare
+                # connection reset instead of an error body.
+                self._send(500, {"error": str(e)})
 
         def log_message(self, fmt, *fmt_args):  # quiet per-request stderr
             pass

@@ -47,9 +47,17 @@ class TestSmiles:
         "N(=O)(=O)=O",                         # N hexavalent
         "CC.O",                                # multi-fragment unsupported
         "O=C=O=C",                             # O trivalent neutral
+        "c1cc[n]c1", "c1ccnc1",                # pyrrole MUST be [nH] (rdkit
+                                               # parity: plain n fails to
+                                               # kekulize, never H-pinned)
     ])
     def test_invalid_rejected(self, bad):
         assert mol_from_smiles(bad) is None
+
+    def test_pyrrole_needs_explicit_h(self):
+        # the [nH] form is the valid pyrrole; both plain-n forms above are
+        # rejected, matching rdkit
+        assert canonical_smiles("c1cc[nH]c1") is not None
 
     def test_canonicalization_is_form_invariant(self):
         # different written forms of the same molecule canonicalize equal

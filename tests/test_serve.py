@@ -175,6 +175,40 @@ class TestServer:
         assert service._plan_blocks(4) == [32]
         assert service._plan_blocks(5) == [32, 8]
 
+    def test_mixed_tier_coverings_minimize_passes(self):
+        """Remainders just above a small-tier multiple get a MIXED-tier
+        covering with the same total rows but far fewer passes (each pass
+        is ~2 relay round trips): 4100 on [256, 2048, 8192] must be
+        2048+2048+256 (3 passes, 4352 rows), not 17x256."""
+        from mlx_vae_tpu.cli.serve import plan_cover, plan_cover_blocks
+        assert list(plan_cover(4100, (256, 2048, 8192))) == [2048, 2048, 256]
+        assert list(plan_cover(68, (8, 32, 128))) == [32, 32, 8]
+        # rows still dominate passes: 300 -> two 256s, never one 8192
+        assert list(plan_cover(300, (256, 8192))) == [256, 256]
+        # an exact big-tier fit is one pass
+        assert list(plan_cover(8192, (256, 2048, 8192))) == [8192]
+        # same economy in block units
+        assert list(plan_cover_blocks(9, (8, 32, 128), 8)) == [32, 32, 8]
+
+    def test_dispatcher_error_returns_json_500(self, server, service):
+        """A dispatcher-side failure (device error) must surface as a JSON
+        5xx, not a connection reset from a dead handler thread."""
+        orig_solo, orig_co = service._run_solo, service._run_coalesced
+
+        def boom(*a, **k):
+            raise RuntimeError("boom")
+
+        service._run_solo = boom
+        service._run_coalesced = boom
+        try:
+            with pytest.raises(urllib.error.HTTPError) as e:
+                _post(server, {"num_molecules": 3, "target": [60.0, 1.0]})
+            assert e.value.code == 500
+            assert "boom" in json.loads(e.value.read())["error"]
+        finally:
+            service._run_solo = orig_solo
+            service._run_coalesced = orig_co
+
     def test_small_request_uses_small_tier(self, server):
         """A request smaller than the small tier reports one pass (routed
         to the 8-row tier, not padded into the 32-row one)."""
@@ -205,6 +239,10 @@ class TestServer:
         assert a_co.coalesced and b_co.coalesced and not a_solo.coalesced
         np.testing.assert_array_equal(a_solo.tokens, a_co.tokens)
         np.testing.assert_array_equal(b_solo.tokens, b_co.tokens)
+        # dt is each job's row-share of the group's wall clock (a: 1
+        # 8-row block, b: 2 blocks), so per-request mols_per_sec sums to
+        # the true device rate instead of double-counting shared passes
+        assert b_co.dt == pytest.approx(2 * a_co.dt)
 
     def test_concurrent_greedy_requests_coalesce_correctly(self, server):
         """Concurrent greedy clients may be coalesced into shared device
