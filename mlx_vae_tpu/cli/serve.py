@@ -44,10 +44,12 @@ Endpoints::
                                 "uniqueness": .., "mols_per_sec": ..,
                                 "passes": .., "coalesced": ..}
 
-``top_k``/``top_p`` are jit-static in the sampler and would recompile per
-distinct value — unsupported here by design; use ``generate.py`` for
-truncated sampling. Requests above ``--max_molecules`` are rejected rather
-than queued unboundedly.
+``top_k``/``top_p`` are jit-static in the sampler (a distinct program per
+value), so truncated sampling is served only for configs declared at
+startup with ``--truncation "top_k=K,top_p=P"`` (repeatable) — each is
+warm-compiled per tier like the plain samplers, and requests naming any
+other config get a 400 listing what is served. Requests above
+``--max_molecules`` are rejected rather than queued unboundedly.
 """
 
 from __future__ import annotations
@@ -145,6 +147,12 @@ def build_parser():
     p.add_argument("--max_molecules", type=int, default=1_000_000,
                    help="Reject larger requests instead of queueing them")
     p.add_argument("--no_normalize", action="store_true")
+    p.add_argument("--truncation", action="append", default=None,
+                   metavar="SPEC",
+                   help="Warm-compile a truncated-sampling config, e.g. "
+                        "'top_k=6' or 'top_k=6,top_p=0.8' (repeatable). "
+                        "top_k/top_p are jit-static, so only declared "
+                        "configs are served")
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
     from mlx_vae_tpu.utils.compile_cache import add_cache_flags
@@ -152,24 +160,55 @@ def build_parser():
     return p
 
 
+def parse_truncation(spec: str) -> tuple:
+    """Parse one --truncation SPEC ('top_k=K[,top_p=P]') -> (top_k, top_p)."""
+    tk, tp = 0, 1.0
+    for part in spec.split(","):
+        k, _, v = part.strip().partition("=")
+        try:
+            if k == "top_k":
+                tk = int(v)
+            elif k == "top_p":
+                tp = float(v)
+            else:
+                raise ValueError
+        except ValueError:
+            raise SystemExit(f"bad --truncation entry {part.strip()!r} "
+                             "(expected top_k=N and/or top_p=F)") from None
+    if tk < 0 or not 0.0 < tp <= 1.0 or (tk, tp) == (0, 1.0):
+        raise SystemExit(f"--truncation {spec!r}: need top_k > 0 and/or "
+                         "top_p in (0, 1)")
+    return tk, tp
+
+
 class _Job:
     """One /generate request in flight through the dispatcher."""
 
     __slots__ = ("n", "greedy", "temperature", "target_norm", "key",
+                 "top_k", "top_p",
                  "done", "tokens", "error", "dt", "passes", "coalesced")
 
-    def __init__(self, n, greedy, temperature, target_norm, key):
+    def __init__(self, n, greedy, temperature, target_norm, key,
+                 top_k=0, top_p=1.0):
         self.n = n
         self.greedy = greedy
         self.temperature = temperature
         self.target_norm = target_norm
         self.key = key
+        self.top_k = top_k
+        self.top_p = top_p
         self.done = threading.Event()
         self.tokens = None
         self.error = None
         self.dt = 0.0
         self.passes = 0
         self.coalesced = False
+
+    @property
+    def pkey(self):
+        """Program key: jobs run (and coalesce) per (greedy, top_k, top_p)
+        since the sampler is a distinct compiled program for each."""
+        return (self.greedy, self.top_k, self.top_p)
 
 
 class GenerationService:
@@ -205,23 +244,36 @@ class GenerationService:
         self.max_length = args.max_length
         self.max_molecules = args.max_molecules
 
-        # Which (tier, greedy) combos run the fused kernel vs the scan
+        # Every sampler program the server compiles, keyed by
+        # pkey = (greedy, top_k, top_p): the two plain samplers plus one
+        # stochastic program per declared --truncation config (top_k/top_p
+        # are jit-static, so each served config is its own warm program).
+        self.trunc_cfgs = sorted({parse_truncation(s)
+                                  for s in (args.truncation or [])})
+        self.pkeys = ([(False, 0, 1.0), (True, 0, 1.0)]
+                      + [(False, tk, tp) for tk, tp in self.trunc_cfgs])
+
+        # Which (tier, *pkey) combos run the fused kernel vs the scan
         # sampler; the coalescing granularity follows the fused kernel's
         # grid block (per-block seeds/temps), 8 rows otherwise (TPU batch
         # alignment; greedy scan coalescing is row-independent anyway).
-        self._fused = {(t, g): self.cfg.use_pallas
-                       and pallas_generate_supported(self.cfg, t, greedy=g)
-                       for t in tiers for g in (False, True)}
+        self._fused = {(t,) + pk: self.cfg.use_pallas
+                       and pallas_generate_supported(
+                           self.cfg, t, greedy=pk[0],
+                           top_k=pk[1], top_p=pk[2])
+                       for t in tiers for pk in self.pkeys}
         self.chunk = (block_rows(tiers[-1])
                       if any(self._fused.values()) else 8)
         # Tiers eligible as coalesced-pass targets: block-aligned so every
         # job owns whole blocks regardless of which tier serves the group.
         self.co_tiers = [t for t in tiers if t % self.chunk == 0]
-        self._can_coalesce = {
-            True: bool(self.co_tiers),  # greedy: both paths row-independent
-            False: bool(self.co_tiers) and all(
-                self._fused[(t, False)] for t in self.co_tiers),
-        }
+        self._can_coalesce = {}
+        for pk in self.pkeys:
+            if pk[0]:  # greedy: both paths row-independent
+                self._can_coalesce[pk] = bool(self.co_tiers)
+            else:  # stochastic: only the fused kernel's per-block streams
+                self._can_coalesce[pk] = bool(self.co_tiers) and all(
+                    self._fused[(t,) + pk] for t in self.co_tiers)
 
         def cast(toks):
             # Quarter the device->host transfer when ids fit a byte
@@ -230,19 +282,22 @@ class GenerationService:
             return (toks.astype(jnp.uint8) if self.cfg.vocab_size < 256
                     else toks)
 
-        def make(tier, greedy):
-            if self._fused[(tier, greedy)]:
+        def make(tier, pk):
+            greedy, tk, tp = pk
+            if self._fused[(tier,) + pk]:
                 def local(z, cond, seeds, temps):
                     return cast(pallas_generate(
                         dec, self.cfg, z, cond, jax.random.PRNGKey(0),
                         max_length=self.max_length, temperature=temps,
-                        greedy=greedy, block_seeds=seeds))
+                        greedy=greedy, top_k=tk, top_p=tp,
+                        block_seeds=seeds))
             else:
                 def local(z, cond, kg, temperature):
                     return cast(generate_with_temperature(
                         dec, self.cfg, z, cond, kg,
                         max_length=self.max_length,
-                        temperature=temperature, greedy=greedy))
+                        temperature=temperature, greedy=greedy,
+                        top_k=tk, top_p=tp))
             return jax.jit(local)
 
         def make_prep(tier):
@@ -260,7 +315,8 @@ class GenerationService:
                 return z, cond, seeds, temps, kg
             return jax.jit(prep)
 
-        self.fns = {(t, g): make(t, g) for t in tiers for g in (False, True)}
+        self.fns = {(t,) + pk: make(t, pk)
+                    for t in tiers for pk in self.pkeys}
         # Solo-path per-pass input builder (z / conditions / per-block
         # seeds+temps / scan key) as ONE program per tier: through the
         # ~55ms-RTT relay, per-pass eager prep ops would otherwise
@@ -298,19 +354,21 @@ class GenerationService:
                                             daemon=True)
         self._dispatcher.start()
 
-        # Warm every (tier, greedy) program so no request pays a compile.
+        # Warm every (tier, pkey) program so no request pays a compile.
         t0 = time.perf_counter()
         for t in self.tiers:
-            for g in (False, True):
-                job = _Job(1, g, 1.0,
+            for pk in self.pkeys:
+                job = _Job(1, pk[0], 1.0,
                            np.zeros((1, self.cfg.num_conditions), np.float32),
-                           jax.random.PRNGKey(0))
+                           jax.random.PRNGKey(0), top_k=pk[1], top_p=pk[2])
                 self._run_solo(job, forced_tier=t)
         if self.co_tiers:  # the coalesced-path stream program too
             jax.block_until_ready(self._streams(jax.random.PRNGKey(0)))
         print(f"Warmed {len(self.fns)} sampler programs "
-              f"(tiers {self.tiers} x stochastic+greedy) in "
-              f"{time.perf_counter() - t0:.1f}s")
+              f"(tiers {self.tiers} x stochastic+greedy"
+              + (f" + truncation {self.trunc_cfgs}" if self.trunc_cfgs
+                 else "")
+              + f") in {time.perf_counter() - t0:.1f}s")
 
     # ---- planning helpers ----
 
@@ -325,7 +383,7 @@ class GenerationService:
 
     def _eligible(self, job) -> bool:
         """Can this job run on the block-canonical coalesced path?"""
-        return (self._can_coalesce[job.greedy]
+        return (self._can_coalesce[job.pkey]
                 and self._padded(job.n) <= self.co_tiers[-1])
 
     def close(self, timeout: float = 30.0):
@@ -366,7 +424,7 @@ class GenerationService:
                     while self._pending:
                         nxt = self._pending.popleft()
                         nrows = self._padded(nxt.n)
-                        if (nxt.greedy == job.greedy
+                        if (nxt.pkey == job.pkey
                                 and self._eligible(nxt)
                                 and nrows <= cap - rows):
                             group.append(nxt)
@@ -425,10 +483,10 @@ class GenerationService:
             z, cond, seeds, temps, kg = self.preps[tier](
                 jax.random.fold_in(job.key, p), tn,
                 jnp.float32(job.temperature))
-            if self._fused[(tier, job.greedy)]:
-                toks = self.fns[(tier, job.greedy)](z, cond, seeds, temps)
+            if self._fused[(tier,) + job.pkey]:
+                toks = self.fns[(tier,) + job.pkey](z, cond, seeds, temps)
             else:
-                toks = self.fns[(tier, job.greedy)](
+                toks = self.fns[(tier,) + job.pkey](
                     z, cond, kg, jnp.float32(job.temperature))
             if hasattr(toks, "copy_to_host_async"):
                 toks.copy_to_host_async()
@@ -451,7 +509,7 @@ class GenerationService:
         the true device rate across coalesced clients (previously every
         client was charged the whole group's wall clock)."""
         t0 = time.perf_counter()
-        greedy = group[0].greedy
+        pk = group[0].pkey
         C = self.cfg.num_conditions
         zs, seed_arrs, nbs = [], [], []
         for job in group:
@@ -485,7 +543,7 @@ class GenerationService:
                 np.concatenate([cond_rows[r0:r0 + rows],
                                 np.zeros((pad, C), np.float32)])
                 if pad else cond_rows[r0:r0 + rows])
-            if self._fused[(tier, greedy)]:
+            if self._fused[(tier,) + pk]:
                 seeds = seeds_cat[boff:boff + nsel]
                 temps = jnp.asarray(np.concatenate(
                     [temps_cat[boff:boff + nsel],
@@ -493,11 +551,11 @@ class GenerationService:
                 if nsel < cap:
                     seeds = jnp.concatenate(
                         [seeds, jnp.zeros(cap - nsel, jnp.int32)])
-                toks = self.fns[(tier, greedy)](z, cond, seeds, temps)
+                toks = self.fns[(tier,) + pk](z, cond, seeds, temps)
             else:
                 # scan path: only greedy groups land here (argmax ignores
                 # temperature and draws nothing, so per-job temps are moot)
-                toks = self.fns[(tier, greedy)](
+                toks = self.fns[(tier,) + pk](
                     z, cond, jax.random.PRNGKey(0),
                     jnp.float32(group[0].temperature))
             if hasattr(toks, "copy_to_host_async"):
@@ -550,9 +608,19 @@ class GenerationService:
         if temperature <= 0:
             raise ValueError(f"temperature must be > 0, got {temperature}")
         greedy = bool(req.get("greedy", False))
-        if "top_k" in req or "top_p" in req:
-            raise ValueError("top_k/top_p are not served (jit-static in the "
-                             "sampler); use generate.py for truncation")
+        top_k = self._number(req, "top_k", 0, int)
+        top_p = self._number(req, "top_p", 1.0, float)
+        if (top_k, top_p) != (0, 1.0):
+            if greedy:
+                raise ValueError("top_k/top_p have no effect with "
+                                 "greedy=true (argmax ignores truncation)")
+            if (top_k, top_p) not in set(self.trunc_cfgs):
+                raise ValueError(
+                    f"truncation (top_k={top_k}, top_p={top_p}) is not "
+                    f"warm-compiled (jit-static in the sampler); served "
+                    f"configs: {self.trunc_cfgs or 'none'} — start the "
+                    f"server with --truncation 'top_k=K,top_p=P', or use "
+                    f"generate.py")
         target = req.get("target", [90.0])
         if not isinstance(target, list) or any(
                 isinstance(t, bool) or not isinstance(t, (int, float))
@@ -563,7 +631,8 @@ class GenerationService:
                                 self.cfg.num_conditions)
         key = jax.random.PRNGKey(self._number(req, "seed", 0, int))
 
-        job = _Job(n, greedy, temperature, tn, key)
+        job = _Job(n, greedy, temperature, tn, key,
+                   top_k=top_k, top_p=top_p)
         with self._cv:
             if self._closed:
                 raise ValueError("service closed")
@@ -579,6 +648,8 @@ class GenerationService:
             "target": target,
             "temperature": temperature,
             "greedy": greedy,
+            "top_k": top_k,
+            "top_p": top_p,
             "mols_per_sec": n / max(job.dt, 1e-9),
             "passes": job.passes,
             "coalesced": job.coalesced,
@@ -596,9 +667,14 @@ class GenerationService:
     def health(self) -> dict:
         return {"status": "ok", "model": self.shape,
                 "batch_size": self.batch, "batch_tiers": self.tiers,
-                "coalescing": {"stochastic": self._can_coalesce[False],
-                               "greedy": self._can_coalesce[True],
-                               "block_rows": self.chunk},
+                "truncation_configs": [list(c) for c in self.trunc_cfgs],
+                "coalescing": {
+                    "stochastic": self._can_coalesce[(False, 0, 1.0)],
+                    "greedy": self._can_coalesce[(True, 0, 1.0)],
+                    "truncated": {f"top_k={tk},top_p={tp}":
+                                  self._can_coalesce[(False, tk, tp)]
+                                  for tk, tp in self.trunc_cfgs},
+                    "block_rows": self.chunk},
                 "stats": dict(self._stats),
                 "max_length": self.max_length,
                 "backend": jax.default_backend(),

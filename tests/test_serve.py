@@ -86,7 +86,8 @@ class TestServer:
         # batch-position-dependent — only the fused kernel's per-block
         # seeds make stochastic coalescing safe)
         assert h["coalescing"] == {"stochastic": False, "greedy": True,
-                                   "block_rows": 8}
+                                   "truncated": {}, "block_rows": 8}
+        assert h["truncation_configs"] == []
         assert h["alphabet_size"] == 3
 
     def test_generate_pads_and_loops_fixed_batch(self, server):
@@ -320,6 +321,86 @@ def test_checkpoint_without_alphabet(tmp_path):
         assert h["alphabet_size"] == 0
     finally:
         ready.server.shutdown()
+
+
+def test_parse_truncation():
+    from mlx_vae_tpu.cli.serve import parse_truncation
+    assert parse_truncation("top_k=3") == (3, 1.0)
+    assert parse_truncation("top_p=0.9") == (0, 0.9)
+    assert parse_truncation("top_k=6,top_p=0.8") == (6, 0.8)
+    for bad in ("", "top_k=0", "top_p=1.0", "top_k=-1", "top_p=0",
+                "top_q=3", "top_k=x"):
+        with pytest.raises(SystemExit):
+            parse_truncation(bad)
+
+
+class TestTruncationServing:
+    """--truncation warm-compiles declared top_k/top_p configs; anything
+    else gets a 400 naming what is served (the sampler programs are
+    jit-static per config)."""
+
+    @pytest.fixture(scope="class")
+    def tsrv(self, tmp_path_factory):
+        from mlx_vae_tpu.models.vae import ARCVAE
+        from mlx_vae_tpu.train.checkpoint import save_checkpoint
+        from mlx_vae_tpu.train.optim import adam_init
+
+        tmp = tmp_path_factory.mktemp("tserve")
+        vae = ARCVAE(MCFG, jax.random.PRNGKey(3))
+        ck = tmp / "ck.npz"
+        save_checkpoint(ck, 0, vae.params,
+                        {k: adam_init(v) for k, v in vae.params.items()}, {})
+        args = build_parser().parse_args([
+            "--checkpoint", str(ck), "--port", "0", "--batch_sizes", "8,16",
+            "--max_length", "10", "--no_normalize",
+            "--truncation", "top_k=3",
+            "--truncation", "top_k=6,top_p=0.8"])
+        ready = threading.Event()
+        threading.Thread(target=serve_forever, args=(args, ready),
+                         daemon=True).start()
+        assert ready.wait(timeout=300)
+        yield f"http://127.0.0.1:{ready.server.server_address[1]}"
+        ready.server.shutdown()
+
+    def test_health_lists_configs(self, tsrv):
+        _, h = _get(tsrv, "/health")
+        assert h["truncation_configs"] == [[3, 1.0], [6, 0.8]]
+        assert "truncated" in h["coalescing"]
+
+    def test_served_config_works_and_is_deterministic(self, tsrv):
+        req = {"num_molecules": 6, "target": [0.0, 0.0], "seed": 9,
+               "top_k": 3, "return_tokens": True}
+        _, a = _post(tsrv, req)
+        _, b = _post(tsrv, req)
+        assert a["top_k"] == 3 and a["top_p"] == 1.0
+        assert a["tokens"] == b["tokens"]
+        assert np.asarray(a["tokens"]).shape == (6, 10)
+        _, c = _post(tsrv, {**req, "top_k": 6, "top_p": 0.8})
+        assert c["top_k"] == 6 and c["top_p"] == 0.8
+
+    def test_undeclared_config_gets_400_naming_served(self, tsrv):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(tsrv, {"num_molecules": 2, "target": [0.0, 0.0],
+                         "top_k": 4})
+        assert e.value.code == 400
+        msg = json.loads(e.value.read())["error"]
+        assert "(3, 1.0)" in msg and "--truncation" in msg
+
+    def test_truncation_with_greedy_rejected(self, tsrv):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(tsrv, {"num_molecules": 2, "target": [0.0, 0.0],
+                         "top_k": 3, "greedy": True})
+        assert e.value.code == 400
+
+
+def test_truncation_unconfigured_server_rejects(server):
+    """The module server declares no --truncation: truncated requests get
+    a 400 pointing at the flag, plain ones are unaffected."""
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, {"num_molecules": 2, "target": [60.0, 1.0],
+                       "top_p": 0.9})
+    assert e.value.code == 400
+    assert "--truncation" in json.loads(e.value.read())["error"]
 
 
 def test_service_close_stops_dispatcher(tmp_path):
