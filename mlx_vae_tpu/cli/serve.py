@@ -100,30 +100,38 @@ def _cover(rem: int, options: tuple) -> list:
     return sorted(out, reverse=True)
 
 
-@functools.lru_cache(maxsize=4096)
 def plan_cover(n: int, tiers: tuple) -> tuple:
     """Decompose an n-row job into warm-tier passes minimizing
-    (total device rows, passes): the largest tier while it fits wholly,
-    then the cheapest (possibly mixed-tier) covering of the remainder."""
-    big = tiers[-1]
-    passes, rem = [], n
-    while rem >= big:
-        passes.append(big)
-        rem -= big
-    if rem:
-        passes.extend(_cover(rem, tuple((t, t, t) for t in tiers)))
-    return tuple(passes)
+    lexicographic (total device rows, passes)."""
+    return plan_cover_blocks(n, tiers, 1)
 
 
 @functools.lru_cache(maxsize=4096)
 def plan_cover_blocks(nblocks: int, co_tiers: tuple, chunk: int) -> tuple:
-    """Same economy in chunk-block units for the coalesced path."""
+    """Tier-pass covering of ``nblocks`` chunk-block units minimizing
+    lexicographic (total device rows, passes), mixed tiers allowed.
+
+    Large jobs peel whole largest-tier passes before the DP, but only
+    down to ``big + F`` where every unit count >= F/g is exactly
+    representable by tier multiples (Erdős–Graham bound 2*(t1/g)*(big/g)
+    on the scaled Frobenius number) — peeling inside that region is
+    provably rows-minimal, unlike a blind peel-to-big, which on a
+    non-divisible ladder like (8, 12) would plan 16 rows as 12+8 instead
+    of 8+8. Pathological ladders whose bound would blow the DP domain
+    (>500k states) fall back to peel-to-big."""
     caps = {t: t // chunk for t in co_tiers}
     big = co_tiers[-1]
+    cb = caps[big]
+    g = 0
+    for t in co_tiers:
+        g = math.gcd(g, caps[t])
+    stop = cb + 2 * (caps[co_tiers[0]] // g) * (cb // g) * g
+    if stop // g > 500_000:
+        stop = cb
     plan, rem = [], nblocks
-    while rem >= caps[big]:
+    while rem >= max(stop, cb):
         plan.append(big)
-        rem -= caps[big]
+        rem -= cb
     if rem:
         plan.extend(_cover(rem, tuple((caps[t], t, t) for t in co_tiers)))
     return tuple(plan)
@@ -179,6 +187,13 @@ def parse_truncation(spec: str) -> tuple:
         raise SystemExit(f"--truncation {spec!r}: need top_k > 0 and/or "
                          "top_p in (0, 1)")
     return tk, tp
+
+
+class _DispatchError(RuntimeError):
+    """A job failed on the dispatcher side (device error, or close()
+    draining the queue) — an HTTP 500, never a 400: the original error
+    may be a ValueError/TypeError that would otherwise blame the
+    client's request."""
 
 
 class _Job:
@@ -457,7 +472,10 @@ class GenerationService:
         ~55ms-RTT relay, dominating small-request latency on the serving
         hot path. The vmapped in-program computation is bitwise identical
         to per-block ``fold_in -> split -> normal/randint`` calls (counter
-        -based PRF; pinned by tests/test_serve.py's invariance test)."""
+        -based PRF; pinned DIRECTLY against the eager sequence by
+        tests/test_serve.py::test_block_streams_match_eager_prng, so a
+        jax upgrade changing the vmap lowering's bits cannot silently
+        alter seeded clients' molecules)."""
         nb = -(-job.n // self.chunk)
         z_all, seeds_all = self._streams(job.key)
         return z_all[:nb].reshape(nb * self.chunk, -1), seeds_all[:nb], nb
@@ -640,7 +658,8 @@ class GenerationService:
             self._cv.notify()
         job.done.wait()
         if job.error is not None:
-            raise job.error
+            raise _DispatchError(
+                f"{type(job.error).__name__}: {job.error}") from job.error
         tokens = job.tokens
 
         out = {
@@ -706,7 +725,15 @@ def make_handler(service: GenerationService):
                 req = json.loads(self.rfile.read(length) or b"{}")
                 if not isinstance(req, dict):
                     raise ValueError("request body must be a JSON object")
-                self._send(200, service.generate(req))
+                payload = service.generate(req)
+            except _DispatchError as e:
+                # Dispatcher-side failures (a device error surfaced via
+                # job.error, or close() draining queued jobs at shutdown)
+                # are the SERVER's fault — a JSON 500, never a bare
+                # connection reset from a dead handler thread, and never a
+                # 400 even when the underlying error is a ValueError.
+                self._send(500, {"error": str(e)})
+                return
             except (ValueError, TypeError, KeyError, json.JSONDecodeError,
                     SystemExit) as e:
                 # TypeError covers wrong JSON field types (e.g. a scalar
@@ -714,13 +741,12 @@ def make_handler(service: GenerationService):
                 # handler thread dies and the client sees a connection
                 # reset instead of the JSON 400 contract.
                 self._send(400, {"error": str(e)})
-            except Exception as e:  # noqa: BLE001
-                # Dispatcher-side failures (a device error surfaced via
-                # job.error, or close() draining queued jobs at shutdown)
-                # must still produce a JSON response — letting them escape
-                # kills the handler thread and the client sees a bare
-                # connection reset instead of an error body.
-                self._send(500, {"error": str(e)})
+                return
+            # The 200 write sits OUTSIDE the try: a send failure (slow
+            # client, socket timeout) must propagate to http.server's
+            # connection teardown, not trigger a second response onto a
+            # half-written stream.
+            self._send(200, payload)
 
         def log_message(self, fmt, *fmt_args):  # quiet per-request stderr
             pass

@@ -190,6 +190,30 @@ class TestServer:
         assert list(plan_cover(8192, (256, 2048, 8192))) == [8192]
         # same economy in block units
         assert list(plan_cover_blocks(9, (8, 32, 128), 8)) == [32, 32, 8]
+        # non-divisible ladder: a blind peel-to-big would plan 16 rows on
+        # tiers (8, 12) as 12+8 = 20 rows; rows-minimal is 8+8
+        assert sorted(plan_cover(16, (8, 12))) == [8, 8]
+        plan = plan_cover(1000, (8, 12))
+        assert sum(plan) == 1000  # exact covering, zero waste
+
+    def test_dispatcher_valueerror_is_500_not_400(self, server, service):
+        """A ValueError raised on the DISPATCHER side (device fault) must
+        not be mistaken for a malformed request: 500, not 400."""
+        orig_solo, orig_co = service._run_solo, service._run_coalesced
+
+        def boom(*a, **k):
+            raise ValueError("bad shapes inside the device pass")
+
+        service._run_solo = boom
+        service._run_coalesced = boom
+        try:
+            with pytest.raises(urllib.error.HTTPError) as e:
+                _post(server, {"num_molecules": 3, "target": [60.0, 1.0]})
+            assert e.value.code == 500
+            assert "ValueError" in json.loads(e.value.read())["error"]
+        finally:
+            service._run_solo = orig_solo
+            service._run_coalesced = orig_co
 
     def test_dispatcher_error_returns_json_500(self, server, service):
         """A dispatcher-side failure (device error) must surface as a JSON
@@ -244,6 +268,25 @@ class TestServer:
         # 8-row block, b: 2 blocks), so per-request mols_per_sec sums to
         # the true device rate instead of double-counting shared passes
         assert b_co.dt == pytest.approx(2 * a_co.dt)
+
+    def test_block_streams_match_eager_prng(self, service):
+        """The jitted/vmapped _streams program must be bitwise-identical
+        to the eager per-block fold_in -> split -> normal/randint
+        sequence it replaced — seeded clients' molecules depend on it."""
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        key = _jax.random.PRNGKey(11)
+        z_all, s_all = service._streams(key)
+        for b in range(int(z_all.shape[0])):
+            kz, kg = _jax.random.split(_jax.random.fold_in(key, b))
+            np.testing.assert_array_equal(
+                np.asarray(z_all[b]),
+                np.asarray(_jax.random.normal(
+                    kz, (service.chunk, service.cfg.latent_dim),
+                    _jnp.float32)))
+            assert int(s_all[b]) == int(_jax.random.randint(
+                kg, (), 0, np.iinfo(np.int32).max, _jnp.int32))
 
     def test_concurrent_greedy_requests_coalesce_correctly(self, server):
         """Concurrent greedy clients may be coalesced into shared device
