@@ -99,22 +99,15 @@ def main():
 
     def achieved_descriptors(toks):
         """Decode rows -> per-descriptor arrays {key: values} for every
-        conditioned property (vendored backend; aromaticity perceived as in
-        data/metrics.py)."""
-        from mlx_vae_tpu.chem import selfies_to_mol
+        conditioned property (vendored backend; shared decode+perceive
+        kernel ``data/metrics.decoded_mols``)."""
         from mlx_vae_tpu.chem.descriptors import clogp, mol_weight, tpsa
-        from mlx_vae_tpu.chem.smiles import perceive_aromaticity
-        from mlx_vae_tpu.data.prepare import decode_tokens
+        from mlx_vae_tpu.data.metrics import decoded_mols
         fns = {"tpsa": tpsa, "logp": clogp, "mw": mol_weight}
         vals = {k: [] for k in prop_keys}
         n_dec = 0
-        for t in toks:
-            s = decode_tokens(t, alphabet)
-            mol = selfies_to_mol(s) if s else None
-            if mol is None:
-                continue
+        for mol in decoded_mols(toks, alphabet):
             n_dec += 1
-            perceive_aromaticity(mol)
             for k in prop_keys:
                 vals[k].append(fns[k](mol))
         return n_dec, {k: np.asarray(v) for k, v in vals.items()}

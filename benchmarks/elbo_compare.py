@@ -246,12 +246,20 @@ def main():
         if args.merge_from:
             prev = json.load(open(args.merge_from))
             pc = prev["config"]
-            for k, want in (("epochs", args.epochs),
-                            ("molecules", args.molecules),
-                            ("batch_size", args.batch_size)):
-                if pc[k] != want:
+            # max_length changes the unmasked-CE ELBO scale (pad positions
+            # count in the mean), so differently padded runs are NOT
+            # comparable; .get(... 80) grandfathers artifacts written
+            # before the key was recorded (all used the default 80).
+            for k, have, want in (("epochs", pc["epochs"], args.epochs),
+                                  ("molecules", pc["molecules"],
+                                   args.molecules),
+                                  ("batch_size", pc["batch_size"],
+                                   args.batch_size),
+                                  ("max_length", pc.get("max_length", 80),
+                                   args.max_length)):
+                if have != want:
                     raise SystemExit(f"--merge_from config mismatch: "
-                                     f"{k}={pc[k]} vs --{k} {want}")
+                                     f"{k}={have} vs --{k} {want}")
             if bool(pc.get("drug_like")) != args.drug_like:
                 raise SystemExit("--merge_from corpus type mismatch")
             prior = {m: {int(s): c for s, c in by.items()}
@@ -309,7 +317,8 @@ def main():
         "analysis": analysis,
         "config": {"epochs": args.epochs, "molecules": args.molecules,
                    "batch_size": args.batch_size, "seeds": seeds,
-                   "drug_like": bool(getattr(args, "drug_like", False))},
+                   "drug_like": bool(getattr(args, "drug_like", False)),
+                   "max_length": getattr(args, "max_length", 80)},
     }
     Path(args.output).parent.mkdir(parents=True, exist_ok=True)
     # Atomic replace: --reanalyze defaults to rewriting its own INPUT in

@@ -101,20 +101,10 @@ def main():
 
     def achieved(toks):
         if args.chem:
-            from mlx_vae_tpu.chem import selfies_to_mol, tpsa
-            from mlx_vae_tpu.chem.smiles import perceive_aromaticity
-            from mlx_vae_tpu.data.prepare import decode_tokens
-            vals = []
-            for t in toks:
-                s = decode_tokens(t, alphabet)
-                mol = selfies_to_mol(s) if s else None
-                if mol is None:
-                    continue
-                # SELFIES decode emits kekulized structures; Ertl TPSA
-                # distinguishes aromatic N/O (same as data/metrics.py).
-                perceive_aromaticity(mol)
-                vals.append(tpsa(mol))
-            return np.array(vals)
+            from mlx_vae_tpu.chem import tpsa
+            from mlx_vae_tpu.data.metrics import decoded_mols
+            return np.array([tpsa(mol)
+                             for mol in decoded_mols(toks, alphabet)])
         return np.array([synthetic_tpsa(t, mcfg.vocab_size) for t in toks])
 
     results = []

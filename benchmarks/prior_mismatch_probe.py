@@ -76,9 +76,8 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
-    from mlx_vae_tpu.chem import selfies_to_mol
     from mlx_vae_tpu.config import ModelConfig
-    from mlx_vae_tpu.data.prepare import decode_tokens
+    from mlx_vae_tpu.data.metrics import decoded_mols
     from mlx_vae_tpu.data.split import load_and_split
     from mlx_vae_tpu.models.encoder import encoder_apply, reparameterize
     from mlx_vae_tpu.models.sampling import generate_with_temperature
@@ -99,9 +98,12 @@ def main():
     if not alphabet:
         sys.exit("needs a corpus JSON with an 'alphabet'")
 
-    B = args.batch_size
-    x = jnp.asarray(test_ds.molecules[:B].astype(np.int32))
-    cond = jnp.asarray(test_ds.properties_normalized[:B], jnp.float32)
+    x = jnp.asarray(test_ds.molecules[:args.batch_size].astype(np.int32))
+    cond = jnp.asarray(test_ds.properties_normalized[:args.batch_size],
+                       jnp.float32)
+    # The test split can be smaller than --batch_size; every per-row
+    # array below (x, cond, z_prior, z_post) must share the actual count.
+    B = int(x.shape[0])
 
     mu, logvar = encoder_apply(params["encoder"], mcfg, x, cond)
     sigma = jnp.exp(0.5 * logvar)
@@ -110,14 +112,9 @@ def main():
         toks = np.asarray(generate_with_temperature(
             params["decoder"], mcfg, z, cond, key,
             max_length=args.max_length, temperature=args.temperature))
-        n, atoms = 0, []
-        for t in toks:
-            s = decode_tokens(t, alphabet)
-            mol = selfies_to_mol(s) if s else None
-            if mol is not None:
-                n += 1
-                atoms.append(len(mol.atoms))
-        return n / len(toks), float(np.mean(atoms)) if atoms else 0.0
+        atoms = [len(mol.atoms) for mol in decoded_mols(toks, alphabet)]
+        return (len(atoms) / len(toks),
+                float(np.mean(atoms)) if atoms else 0.0)
 
     z_prior = jax.random.normal(jax.random.PRNGKey(0), (B, mcfg.latent_dim))
     z_post = reparameterize(jax.random.PRNGKey(2), mu, logvar)

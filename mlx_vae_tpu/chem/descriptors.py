@@ -50,13 +50,17 @@ def _tpsa_atom(mol: Mol, i: int) -> float:
     h = mol.implicit_h(i)
     q = a.charge
     if a.aromatic:
-        # classify bonds: aromatic ring bonds vs exocyclic single/double
-        n_ar = sum(1 for j in mol.adj[i] if mol.atoms[j].aromatic)
+        # Classify by BOND aromaticity (mol.aromatic_bonds, recorded by
+        # perceive_aromaticity), not neighbor-atom flags: the N-aryl bond
+        # of e.g. N-phenylpyrrole joins two aromatic atoms but is an
+        # exocyclic single bond — rdkit scores that N 4.93 (n_ar=2 +
+        # 1 single), not 4.41 (bridgehead n_ar=3).
+        n_ar = sum(1 for j in mol.adj[i] if mol.is_aromatic_bond(i, j))
         n_single = sum(1 for j in mol.adj[i]
-                       if not mol.atoms[j].aromatic
+                       if not mol.is_aromatic_bond(i, j)
                        and mol.bond_order(i, j) == 1.0)
         n_double = sum(1 for j in mol.adj[i]
-                       if not mol.atoms[j].aromatic
+                       if not mol.is_aromatic_bond(i, j)
                        and mol.bond_order(i, j) == 2.0)
         if el == "O":
             if q == 0 and n_ar == 2 and h == 0:
@@ -190,7 +194,7 @@ def _clogp_atom(mol: Mol, i: int) -> float:
         hc = 0.1230 * h  # hydrocarbon H
         if a.aromatic:
             subs = [(mol.atoms[j], mol.bond_order(i, j))
-                    for j in mol.adj[i] if not mol.atoms[j].aromatic]
+                    for j in mol.adj[i] if not mol.is_aromatic_bond(i, j)]
             if not subs:
                 if h:
                     return 0.1581 + hc       # aromatic CH

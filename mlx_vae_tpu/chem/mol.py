@@ -92,6 +92,12 @@ class Mol:
         self.atoms: List[Atom] = []
         self.bonds: Dict[Tuple[int, int], float] = {}
         self.adj: List[List[int]] = []
+        # Bond keys that lie in a perceived aromatic ring. Populated by
+        # ``smiles.perceive_aromaticity`` (kekulized orders stay 1/2; this
+        # set is what distinguishes a ring aromatic bond from e.g. a biaryl
+        # single bond between two aromatic atoms — the Ertl TPSA table
+        # classifies N/O environments by aromatic BONDS, not neighbors).
+        self.aromatic_bonds: set = set()
 
     def add_atom(self, atom: Atom) -> int:
         self.atoms.append(atom)
@@ -110,6 +116,9 @@ class Mol:
 
     def bond_order(self, i: int, j: int) -> float:
         return self.bonds[(min(i, j), max(i, j))]
+
+    def is_aromatic_bond(self, i: int, j: int) -> bool:
+        return (min(i, j), max(i, j)) in self.aromatic_bonds
 
     def set_bond_order(self, i: int, j: int, order: float) -> None:
         self.bonds[(min(i, j), max(i, j))] = order

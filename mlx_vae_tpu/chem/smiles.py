@@ -300,12 +300,18 @@ def rings_upto(mol: Mol, max_size: int = 7) -> List[List[int]]:
 
 
 def perceive_aromaticity(mol: Mol) -> None:
-    """Set ``atom.aromatic`` flags on kekulized molecules (Hückel 4n+2 on
-    individual small rings; iterates so fused systems settle). Needed by
-    the descriptors when the input came from SELFIES decoding, which
-    emits kekulized structures with no aromatic flags."""
+    """Set ``atom.aromatic`` flags and ``mol.aromatic_bonds`` on kekulized
+    molecules (Hückel 4n+2 on individual small rings). Needed by the
+    descriptors when the input came from SELFIES decoding, which emits
+    kekulized structures with no aromatic flags. ``aromatic_bonds``
+    records the ring edges of every qualifying ring — the per-bond truth
+    the Ertl TPSA table needs (an N-aryl single bond joins two aromatic
+    ATOMS but is not an aromatic BOND). ``ring_pi`` reads only bond
+    orders / elements / charges, never the flags being set, so a single
+    pass over the rings is the fixed point."""
     for a in mol.atoms:
         a.aromatic = False
+    mol.aromatic_bonds = set()
     rings = [r for r in rings_upto(mol, 7) if 5 <= len(r) <= 7]
 
     ring_atom_set: Set[int] = set()
@@ -350,18 +356,16 @@ def perceive_aromaticity(mol: Mol) -> None:
                 return None
         return total
 
-    changed = True
-    while changed:
-        changed = False
-        for ring in rings:
-            if all(mol.atoms[i].aromatic for i in ring):
-                continue
-            pi = ring_pi(ring)
-            if pi is not None and pi % 4 == 2:
-                for i in ring:
-                    if not mol.atoms[i].aromatic:
-                        mol.atoms[i].aromatic = True
-                        changed = True
+    for ring in rings:
+        pi = ring_pi(ring)
+        if pi is not None and pi % 4 == 2:
+            for i in ring:
+                mol.atoms[i].aromatic = True
+            # ``ring`` is an ordered cycle (BFS path b..a closed by the
+            # (a, b) ring bond), so consecutive pairs + the closing pair
+            # are exactly its edges.
+            for u, v in zip(ring, ring[1:] + ring[:1]):
+                mol.aromatic_bonds.add((min(u, v), max(u, v)))
 
 
 # ---------------------------------------------------------------- writing

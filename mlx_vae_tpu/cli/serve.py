@@ -239,6 +239,21 @@ class GenerationService:
                                                     pallas_generate_supported)
         from mlx_vae_tpu.train.checkpoint import load_checkpoint
 
+        # Cheap flag validation BEFORE the checkpoint load: a typo'd
+        # ladder should exit with a message, not an int() traceback (and
+        # not after seconds of npz reading).
+        if args.batch_sizes:
+            try:
+                tiers = sorted({int(s) for s in args.batch_sizes.split(",")})
+            except ValueError:
+                raise SystemExit(
+                    f"bad --batch_sizes {args.batch_sizes!r} (expected "
+                    f"comma-separated ints, e.g. 256,2048,8192)") from None
+        else:
+            tiers = [args.batch_size]
+        if any(t < 1 for t in tiers):
+            raise SystemExit(f"batch tiers must be >= 1, got {tiers}")
+
         ckpt = load_checkpoint(args.checkpoint)
         dec = ckpt["params"]["decoder"]
         self.shape = infer_model_shape(dec)
@@ -247,13 +262,6 @@ class GenerationService:
                                **self.shape)
         self.mean, self.std, self.alphabet, _ = resolve_property_stats(
             args.data, args.no_normalize, ckpt, self.cfg.num_conditions)
-
-        if args.batch_sizes:
-            tiers = sorted({int(s) for s in args.batch_sizes.split(",")})
-        else:
-            tiers = [args.batch_size]
-        if any(t < 1 for t in tiers):
-            raise SystemExit(f"batch tiers must be >= 1, got {tiers}")
         self.tiers = tiers
         self.batch = tiers[-1]  # legacy /health field: the largest tier
         self.max_length = args.max_length
@@ -608,6 +616,11 @@ class GenerationService:
         v = req.get(field, default)
         if isinstance(v, bool) or not isinstance(v, (int, float)):
             raise ValueError(f"{field} must be a number, got {v!r}")
+        if kind is int and not float(v).is_integer():
+            # int(3.5) would silently truncate — e.g. serve a top_k=3
+            # config the client never asked for, or make seeds 1.2 and
+            # 1.7 return identical molecules.
+            raise ValueError(f"{field} must be an integer, got {v!r}")
         return kind(v)
 
     def generate(self, req: dict) -> dict:
@@ -639,6 +652,12 @@ class GenerationService:
                     f"configs: {self.trunc_cfgs or 'none'} — start the "
                     f"server with --truncation 'top_k=K,top_p=P', or use "
                     f"generate.py")
+        max_selfies = self._number(req, "max_selfies", 1000, int)
+        if max_selfies < 0:
+            # tokens[:-5] would silently drop the LAST rows instead of
+            # limiting the decode count. Validated HERE, before the job
+            # pays for generation.
+            raise ValueError(f"max_selfies must be >= 0, got {max_selfies}")
         target = req.get("target", [90.0])
         if not isinstance(target, list) or any(
                 isinstance(t, bool) or not isinstance(t, (int, float))
@@ -653,7 +672,10 @@ class GenerationService:
                    top_k=top_k, top_p=top_p)
         with self._cv:
             if self._closed:
-                raise ValueError("service closed")
+                # Shutdown is the SERVER's state, not a client fault: a
+                # 500 like the sibling path (close() draining queued
+                # jobs), never a 400 a well-behaved client won't retry.
+                raise _DispatchError("service closed")
             self._pending.append(job)
             self._cv.notify()
         job.done.wait()
@@ -676,9 +698,8 @@ class GenerationService:
             "uniqueness": uniqueness(tokens),
         }
         if self.alphabet:
-            limit = self._number(req, "max_selfies", 1000, int)
             out["selfies"] = [decode_tokens(t, self.alphabet)
-                              for t in tokens[:limit]]
+                              for t in tokens[:max_selfies]]
         if req.get("return_tokens"):
             out["tokens"] = tokens.tolist()
         return out

@@ -127,6 +127,31 @@ def novelty(tokens, reference_tokens, end_token: int = EOS,
     return len(gen_keys - ref_keys) / len(gen_keys)
 
 
+def decoded_mols(tokens, alphabet):
+    """Yield a perceived ``Mol`` for every token row that decodes to a
+    molecule; rows that don't decode are skipped.
+
+    THE shared decode kernel for every consumer that scores generated
+    token rows chemically (``molecule_metrics`` below and the
+    conditioning-fidelity / latent-opt / prior-mismatch benchmark
+    pipelines): SELFIES decoding emits kekulized structures with no
+    aromatic flags, and the Ertl TPSA table distinguishes aromatic N/O
+    contributions by aromatic bond, so aromaticity perception must run
+    before any descriptor — centralized here so the pipelines cannot
+    diverge on that subtlety.
+    """
+    from mlx_vae_tpu.chem import selfies_to_mol
+    from mlx_vae_tpu.chem.smiles import perceive_aromaticity
+    from mlx_vae_tpu.data.prepare import decode_tokens
+    for row in tokens:
+        s = decode_tokens(row, alphabet)
+        mol = selfies_to_mol(s) if s else None
+        if mol is None:
+            continue
+        perceive_aromaticity(mol)
+        yield mol
+
+
 def molecule_metrics(tokens, alphabet, target_tpsa=None,
                      sample: int = 20000, seed: int = 0):
     """Molecule-LEVEL metrics via the chemistry backend, on a
@@ -154,8 +179,7 @@ def molecule_metrics(tokens, alphabet, target_tpsa=None,
     from mlx_vae_tpu.chem import selfies_codec as sc
     if sc.KIND_ATOM not in sc.classify_symbols(list(alphabet))[0]:
         return None
-    from mlx_vae_tpu.chem import mol_to_smiles, selfies_to_mol, tpsa
-    from mlx_vae_tpu.chem.smiles import perceive_aromaticity
+    from mlx_vae_tpu.chem import mol_to_smiles, tpsa
 
     a = np.asarray(tokens)
     if a.ndim != 2 or a.shape[0] == 0:
@@ -168,16 +192,9 @@ def molecule_metrics(tokens, alphabet, target_tpsa=None,
     smiles_seen = set()
     tpsas = []
     decoded = 0
-    for row in a:
-        s = prep.decode_tokens(row, alphabet)
-        mol = selfies_to_mol(s) if s else None
-        if mol is None:
-            continue
+    for mol in decoded_mols(a, alphabet):
         decoded += 1
         smiles_seen.add(mol_to_smiles(mol))
-        # SELFIES decode emits kekulized structures with no aromatic
-        # flags; Ertl TPSA distinguishes aromatic N/O contributions.
-        perceive_aromaticity(mol)
         tpsas.append(tpsa(mol))
     out = {
         "sampled": int(a.shape[0]),

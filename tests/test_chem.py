@@ -150,6 +150,12 @@ class TestDescriptors:
         ("c1ccoc1", 13.14), ("C1CCNCC1", 12.03),
         ("CS(=O)(=O)N", 60.16),                  # S excluded, NH2 + 2 =O
         ("C[N+](C)(C)C", 0.0),
+        # aromatic-N environments classified by aromatic BONDS, not
+        # aromatic neighbors: the N-aryl single bond joins two aromatic
+        # atoms but is exocyclic (rdkit: 4.93/17.82, not bridgehead 4.41)
+        ("c1ccc(cc1)n1cccc1", 4.93),             # N-phenylpyrrole
+        ("c1ccc(cc1)n1ccnc1", 17.82),            # N-phenylimidazole
+        ("c1ccccc1c1ccccc1", 0.0),               # biphenyl, default bond
     ]
 
     @pytest.mark.parametrize("smi,want", GOLDEN_TPSA)

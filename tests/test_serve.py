@@ -128,6 +128,10 @@ class TestServer:
             {"temperature": -1.0},
             {"top_k": 5},
             {"target": [90.0]},          # needs 2 values for 2 conditions
+            {"seed": 1.5},               # int fields reject non-integral
+            {"top_k": 3.5},              # floats: int() would truncate
+            {"max_selfies": -5},         # tokens[:-5] would drop rows
+            {"max_selfies": 2.5},
         ):
             with pytest.raises(urllib.error.HTTPError) as e:
                 _post(server, bad)
@@ -468,6 +472,21 @@ def test_service_close_stops_dispatcher(tmp_path):
                          "return_tokens": True})["num_molecules"] == 2
     svc.close()
     assert not svc._dispatcher.is_alive()
-    with pytest.raises(ValueError, match="service closed"):
+    # Shutdown is server state, not a client fault: _DispatchError maps
+    # to HTTP 500 (retryable), matching the close()-drained-job path.
+    from mlx_vae_tpu.cli.serve import _DispatchError
+    with pytest.raises(_DispatchError, match="service closed"):
         svc.generate({"num_molecules": 1, "target": [0.0, 0.0]})
     svc.close()  # idempotent
+
+
+def test_bad_batch_sizes_flag_is_clean_exit(tmp_path):
+    """Malformed --batch_sizes exits with a message, not an int()
+    traceback (consistent with parse_truncation / the tiers>=1 check)."""
+    from mlx_vae_tpu.cli.serve import GenerationService
+
+    for bad in ("256,,2048", "256,2k", "x"):
+        args = build_parser().parse_args([
+            "--checkpoint", "unused.npz", "--batch_sizes", bad])
+        with pytest.raises(SystemExit, match="batch_sizes"):
+            GenerationService(args)
