@@ -72,16 +72,19 @@ def allowed_valences(element: str, charge: int = 0) -> Tuple[int, ...]:
 
 
 class Atom:
-    __slots__ = ("element", "charge", "explicit_h", "aromatic", "isotope")
+    __slots__ = ("element", "charge", "explicit_h", "aromatic", "isotope",
+                 "chiral")
 
     def __init__(self, element: str, charge: int = 0,
                  explicit_h: Optional[int] = None, aromatic: bool = False,
-                 isotope: Optional[int] = None):
+                 isotope: Optional[int] = None,
+                 chiral: Optional[str] = None):
         self.element = element
         self.charge = charge
         self.explicit_h = explicit_h  # None => infer implicit H from valence
         self.aromatic = aromatic
         self.isotope = isotope
+        self.chiral = chiral  # None | "@" | "@@" (tetrahedral tag)
 
 
 class Mol:
@@ -98,6 +101,15 @@ class Mol:
         # single bond between two aromatic atoms — the Ertl TPSA table
         # classifies N/O environments by aromatic BONDS, not neighbors).
         self.aromatic_bonds: set = set()
+        # Tetrahedral stereo: atom index -> its neighbors in SMILES
+        # appearance order (-1 = the in-bracket implicit H). The writer
+        # re-derives @/@@ for its own emission order by permutation parity
+        # against this list (smiles.mol_to_smiles).
+        self.stereo_order: Dict[int, List[int]] = {}
+        # Directional (E/Z) single bonds: DIRECTED (u, v) -> "/" or "\\",
+        # meaning the bond was written u->v with that symbol; the reverse
+        # direction is stored flipped.
+        self.bond_dirs: Dict[Tuple[int, int], str] = {}
 
     def add_atom(self, atom: Atom) -> int:
         self.atoms.append(atom)
@@ -166,6 +178,51 @@ class Mol:
             w += ATOMIC_WEIGHTS.get(a.element, 0.0)
             w += ATOMIC_WEIGHTS["H"] * self.implicit_h(i)
         return w
+
+    # ---------------------------------------------------------- fragments
+
+    def components(self) -> List[List[int]]:
+        """Connected components as sorted atom-index lists."""
+        n = len(self.atoms)
+        seen = [False] * n
+        comps: List[List[int]] = []
+        for s in range(n):
+            if seen[s]:
+                continue
+            stack, comp = [s], []
+            seen[s] = True
+            while stack:
+                u = stack.pop()
+                comp.append(u)
+                for v in self.adj[u]:
+                    if not seen[v]:
+                        seen[v] = True
+                        stack.append(v)
+            comps.append(sorted(comp))
+        return comps
+
+    def extract(self, atom_indices: List[int]) -> "Mol":
+        """New Mol containing only ``atom_indices`` (bonds, stereo and
+        bond directions remapped). The indices must be closed under
+        bonding (a connected component qualifies)."""
+        remap = {old: new for new, old in enumerate(atom_indices)}
+        out = Mol()
+        for old in atom_indices:
+            a = self.atoms[old]
+            out.add_atom(Atom(a.element, charge=a.charge,
+                              explicit_h=a.explicit_h, aromatic=a.aromatic,
+                              isotope=a.isotope, chiral=a.chiral))
+        for (i, j), order in self.bonds.items():
+            if i in remap and j in remap:
+                out.add_bond(remap[i], remap[j], order)
+        for i, order_list in self.stereo_order.items():
+            if i in remap:
+                out.stereo_order[remap[i]] = [
+                    remap.get(x, -1) if x != -1 else -1 for x in order_list]
+        for (u, v), d in self.bond_dirs.items():
+            if u in remap and v in remap:
+                out.bond_dirs[(remap[u], remap[v])] = d
+        return out
 
     # ----------------------------------------------------------- ring info
 

@@ -25,7 +25,8 @@ from __future__ import annotations
 import re
 from typing import Dict, List, Optional, Set, Tuple
 
-from mlx_vae_tpu.chem.mol import Atom, Mol, allowed_valences
+from mlx_vae_tpu.chem.mol import (ATOMIC_WEIGHTS, Atom, Mol,
+                                  allowed_valences)
 
 ORGANIC = {"B", "C", "N", "O", "P", "S", "F", "Cl", "Br", "I"}
 AROMATIC_ORGANIC = {"b", "c", "n", "o", "p", "s"}
@@ -66,22 +67,49 @@ def _parse_bracket(body: str) -> Atom:
         charge = len(chg) * (1 if chg[0] == "+" else -1)
     iso = m.group("iso")
     return Atom(element, charge=charge, explicit_h=hcount,
-                aromatic=aromatic, isotope=int(iso) if iso else None)
+                aromatic=aromatic, isotope=int(iso) if iso else None,
+                chiral=m.group("chiral"))
+
+
+def _flip_dir(d: str) -> str:
+    return "/" if d == "\\" else "\\"
 
 
 def parse_smiles(s: str) -> Mol:
-    """Parse to a Mol with aromatic (1.5) bonds still in place."""
+    """Parse to a Mol with aromatic (1.5) bonds still in place.
+
+    Multi-fragment input (``.``) parses to a disconnected Mol — callers
+    that need one molecule pick a component (``mol_from_smiles`` keeps the
+    largest, the standard ChEMBL salt-stripping curation). Tetrahedral
+    tags (``@``/``@@``) and directional bonds (``/``, ``\\``) are recorded
+    on the Mol (``stereo_order`` / ``bond_dirs``) and re-emitted by
+    ``mol_to_smiles`` with writer-order parity correction."""
     if not s:
         raise SmilesError("empty SMILES")
     mol = Mol()
     prev: Optional[int] = None
     pending_bond: Optional[float] = None
-    stack: List[Tuple[Optional[int], Optional[float]]] = []
-    rings: Dict[int, Tuple[int, Optional[float]]] = {}
+    pending_dir: Optional[str] = None
+    stack: List[Tuple[Optional[int], Optional[float], Optional[str]]] = []
+    rings: Dict[int, Tuple[int, Optional[float], Optional[str]]] = {}
     i, n = 0, len(s)
 
+    def note_neighbor(at: int, nb) -> None:
+        """Append a neighbor (atom index or ring placeholder) to a chiral
+        atom's SMILES-order slot list."""
+        if at in mol.stereo_order:
+            mol.stereo_order[at].append(nb)
+
     def attach(idx: int):
-        nonlocal prev, pending_bond
+        nonlocal prev, pending_bond, pending_dir
+        a = mol.atoms[idx]
+        if a.chiral:
+            # Slot order per OpenSMILES: preceding atom first (if any),
+            # then the in-bracket H, then neighbors as written.
+            slots: List = [] if prev is None else [prev]
+            if (a.explicit_h or 0) == 1:
+                slots.append(-1)
+            mol.stereo_order[idx] = slots
         if prev is not None:
             order = pending_bond
             if order is None:
@@ -89,15 +117,20 @@ def parse_smiles(s: str) -> Mol:
                          if (mol.atoms[prev].aromatic
                              and mol.atoms[idx].aromatic) else 1.0)
             mol.add_bond(prev, idx, order)
+            if pending_dir is not None:
+                mol.bond_dirs[(prev, idx)] = pending_dir
+                mol.bond_dirs[(idx, prev)] = _flip_dir(pending_dir)
+            note_neighbor(prev, idx)
         prev = idx
         pending_bond = None
+        pending_dir = None
 
     def close_ring(num: int):
-        nonlocal pending_bond
+        nonlocal pending_bond, pending_dir
         if prev is None:
             raise SmilesError("ring digit before any atom")
         if num in rings:
-            other, order0 = rings.pop(num)
+            other, order0, dir0 = rings.pop(num)
             order = pending_bond if pending_bond is not None else order0
             if order is None:
                 order = (AROMATIC_BOND
@@ -106,9 +139,23 @@ def parse_smiles(s: str) -> Mol:
             if other == prev:
                 raise SmilesError("ring closure to self")
             mol.add_bond(prev, other, order)
+            if pending_dir is not None:
+                mol.bond_dirs[(prev, other)] = pending_dir
+                mol.bond_dirs[(other, prev)] = _flip_dir(pending_dir)
+            elif dir0 is not None:
+                mol.bond_dirs[(other, prev)] = dir0
+                mol.bond_dirs[(prev, other)] = _flip_dir(dir0)
+            # The opener's slot was the digit position; patch in the
+            # partner now it is known. The closer's slot is right here.
+            if other in mol.stereo_order:
+                slots = mol.stereo_order[other]
+                slots[slots.index(("ring", num))] = prev
+            note_neighbor(prev, other)
         else:
-            rings[num] = (prev, pending_bond)
+            rings[num] = (prev, pending_bond, pending_dir)
+            note_neighbor(prev, ("ring", num))
         pending_bond = None
+        pending_dir = None
 
     while i < n:
         c = s[i]
@@ -119,15 +166,19 @@ def parse_smiles(s: str) -> Mol:
                             ":": AROMATIC_BOND}[c]
             i += 1
         elif c in "/\\":
-            i += 1  # stereo bond -> plain single
+            if pending_bond not in (None, 1.0):
+                raise SmilesError("direction on a non-single bond")
+            pending_dir = c
+            i += 1
         elif c == "(":
-            stack.append((prev, pending_bond))
+            stack.append((prev, pending_bond, pending_dir))
             pending_bond = None
+            pending_dir = None
             i += 1
         elif c == ")":
             if not stack:
                 raise SmilesError("unbalanced )")
-            prev, pending_bond = stack.pop()
+            prev, pending_bond, pending_dir = stack.pop()
             i += 1
         elif c == "[":
             j = s.find("]", i)
@@ -153,7 +204,11 @@ def parse_smiles(s: str) -> Mol:
             attach(mol.add_atom(Atom(c.upper(), aromatic=True)))
             i += 1
         elif c == ".":
-            raise SmilesError("multi-fragment SMILES unsupported")
+            # Fragment separator: the next atom starts a new component.
+            if pending_bond is not None or pending_dir is not None:
+                raise SmilesError("bond symbol before '.'")
+            prev = None
+            i += 1
         else:
             raise SmilesError(f"unexpected character {c!r}")
     if stack:
@@ -162,6 +217,13 @@ def parse_smiles(s: str) -> Mol:
         raise SmilesError(f"unclosed ring bonds {sorted(rings)}")
     if pending_bond is not None:
         raise SmilesError("dangling bond symbol")
+    # A tetrahedral tag is meaningful only with exactly 4 distinct slots
+    # (counting the in-bracket H); anything else is silently achiral —
+    # matching rdkit's drop-bad-stereo sanitization rather than erroring.
+    for at in list(mol.stereo_order):
+        if len(mol.stereo_order[at]) != 4:
+            del mol.stereo_order[at]
+            mol.atoms[at].chiral = None
     return mol
 
 
@@ -418,8 +480,28 @@ def _canonical_ranks(mol: Mol) -> List[int]:
     return rank
 
 
+def _perm_parity(a: List, b: List) -> int:
+    """0 if b is an even permutation of a, 1 if odd."""
+    b = list(b)
+    p = 0
+    for i in range(len(a)):
+        if b[i] != a[i]:
+            j = b.index(a[i], i + 1)
+            b[i], b[j] = b[j], b[i]
+            p ^= 1
+    return p
+
+
 def mol_to_smiles(mol: Mol) -> str:
-    """Canonical kekulized SMILES (uppercase atoms, explicit = / #)."""
+    """Canonical kekulized SMILES (uppercase atoms, explicit = / #).
+
+    Tetrahedral tags recorded in ``mol.stereo_order`` are re-emitted with
+    the @/@@ sense corrected for the writer's own neighbor order
+    (permutation parity vs the parse order), so equivalent stereo inputs
+    canonicalize identically; directional bonds re-emit with the traversal
+    orientation they are stored under (round-trip faithful; NOT normalized
+    across the global /\\ flip — see the divergence ledger in
+    docs/DESIGN.md)."""
     n = len(mol.atoms)
     if n == 0:
         return ""
@@ -458,10 +540,69 @@ def mol_to_smiles(mol: Mol) -> str:
     def bond_sym(o: float) -> str:
         return {1.0: "", 2.0: "=", 3.0: "#"}[o]
 
-    def atom_str(i: int) -> str:
+    # Directional-bond normalization: the absolute "/" vs "\" of a coupled
+    # E/Z system is arbitrary — a global flip of every symbol around one
+    # double-bond system is the SAME geometry — so equivalent inputs only
+    # canonicalize equal if each coupled component is flipped to a fixed
+    # convention: first symbol the writer emits for the component is "/".
+    dir_comp: Dict[Tuple[int, int], Tuple[int, int]] = {}
+    comp_flip: Dict[Tuple[int, int], bool] = {}
+    if mol.bond_dirs:
+        dkeys = {(min(u, v), max(u, v)) for (u, v) in mol.bond_dirs}
+        uf = {k: k for k in dkeys}
+
+        def find(x):
+            while uf[x] != x:
+                uf[x] = uf[uf[x]]
+                x = uf[x]
+            return x
+
+        for (u, v), o in mol.bonds.items():
+            if o == 2.0:
+                inc = sorted(k for k in dkeys if u in k or v in k)
+                for a, b in zip(inc, inc[1:]):
+                    uf[find(a)] = find(b)
+        dir_comp = {k: find(k) for k in dkeys}
+
+    def dir_bond_sym(frm: int, to: int) -> str:
+        """Bond symbol for frm->to, using the stored direction when the
+        single bond carries one (component-flip normalized)."""
+        o = mol.bond_order(frm, to)
+        if o == 1.0:
+            d = mol.bond_dirs.get((frm, to))
+            if d is not None:
+                comp = dir_comp[(min(frm, to), max(frm, to))]
+                if comp not in comp_flip:
+                    comp_flip[comp] = d != "/"
+                return _flip_dir(d) if comp_flip[comp] else d
+        return bond_sym(o)
+
+    def stereo_tag(node: int, frm: Optional[int],
+                   closure_partners: List[int],
+                   children: List[int]) -> Optional[str]:
+        """@/@@ corrected for the writer's emission order (permutation
+        parity vs the recorded parse order); None when the atom carries no
+        (valid) tetrahedral tag."""
+        a = mol.atoms[node]
+        stored = mol.stereo_order.get(node)
+        if a.chiral is None or stored is None:
+            return None
+        emitted: List = [] if frm is None else [frm]
+        if mol.implicit_h(node) == 1:
+            emitted.append(-1)
+        emitted += closure_partners + children
+        if len(emitted) != 4 or sorted(emitted) != sorted(stored):
+            return None
+        flip = _perm_parity(stored, emitted)
+        if not flip:
+            return a.chiral
+        return "@@" if a.chiral == "@" else "@"
+
+    def atom_str(i: int, tag: Optional[str] = None) -> str:
         a = mol.atoms[i]
         h = mol.implicit_h(i)
-        if a.element in ORGANIC and a.charge == 0 and a.isotope is None:
+        if tag is None and a.element in ORGANIC and a.charge == 0 \
+                and a.isotope is None:
             # plain form is legal only if the implicit-H rule re-infers
             # the same H count on re-parse
             save, a.explicit_h = a.explicit_h, None
@@ -469,7 +610,10 @@ def mol_to_smiles(mol: Mol) -> str:
             a.explicit_h = save
             if inferred == h:
                 return a.element
-        parts = [a.element]
+        parts = [] if a.isotope is None else [str(a.isotope)]
+        parts.append(a.element)
+        if tag:
+            parts.append(tag)
         if h == 1:
             parts.append("H")
         elif h > 1:
@@ -482,11 +626,15 @@ def mol_to_smiles(mol: Mol) -> str:
 
     out: List[str] = []
 
-    def emit(node: int, inc: Optional[float]):
+    def emit(node: int, inc: Optional[float], frm: Optional[int]):
         if inc is not None:
-            out.append(bond_sym(inc))
-        out.append(atom_str(node))
-        for other in sorted(closures[node], key=lambda x: pos[x]):
+            out.append(dir_bond_sym(frm, node))
+        closure_partners = sorted(closures[node], key=lambda x: pos[x])
+        children = [v for v in sorted(mol.adj[node], key=lambda x: rank[x])
+                    if parent.get(v) == node]
+        out.append(atom_str(node, stereo_tag(node, frm, closure_partners,
+                                             children)))
+        for other in closure_partners:
             key = (min(node, other), max(node, other))
             if key in ring_open:
                 num = ring_open.pop(key)
@@ -495,38 +643,48 @@ def mol_to_smiles(mol: Mol) -> str:
                 num = free_nums.pop() if free_nums else ring_num[0] + 1
                 ring_num[0] = max(ring_num[0], num)
                 ring_open[key] = num
-                out.append(bond_sym(mol.bond_order(node, other)))
+                out.append(dir_bond_sym(node, other))
             out.append(str(num) if num < 10 else f"%{num:02d}")
-        children = [v for v in sorted(mol.adj[node], key=lambda x: rank[x])
-                    if parent.get(v) == node]
         for k, v in enumerate(children):
             o = mol.bond_order(node, v)
             if k < len(children) - 1:
                 out.append("(")
-                emit(v, o)
+                emit(v, o, node)
                 out.append(")")
             else:
-                emit(v, o)
+                emit(v, o, node)
 
-    emit(start, None)
+    emit(start, None, None)
     return "".join(out)
 
 
 # ------------------------------------------------------------- public API
 
 
-def mol_from_smiles(s: str) -> Optional[Mol]:
+def mol_from_smiles(s: str,
+                    keep_largest_fragment: bool = True) -> Optional[Mol]:
     """Parse + kekulize + valence-check. None on any failure (rdkit's
-    MolFromSmiles contract). Input written aromatic must actually be
-    aromatic after perception (rejects e.g. ``c1ccc1``); limitation:
-    systems aromatic only as a multi-ring circuit (azulene) are rejected
-    because perception is per small ring."""
+    MolFromSmiles contract). Multi-fragment input (salts, mixtures — the
+    norm in raw ChEMBL rows) keeps the LARGEST fragment (by heavy-atom
+    count, then weight), the standard ChEMBL salt-stripping curation;
+    pass ``keep_largest_fragment=False`` to reject such input instead.
+    Input written aromatic must actually be aromatic after perception
+    (rejects e.g. ``c1ccc1``); limitation: systems aromatic only as a
+    multi-ring circuit (azulene) are rejected because perception is per
+    small ring."""
     try:
         mol = parse_smiles(s.strip())
-        written_aromatic = [a.aromatic for a in mol.atoms]
         kekulize(mol)
     except (SmilesError, ValueError):
         return None
+    comps = mol.components()
+    if len(comps) > 1:
+        if not keep_largest_fragment:
+            return None
+        mol = mol.extract(max(comps, key=lambda c: (
+            len(c), sum(ATOMIC_WEIGHTS.get(mol.atoms[i].element, 0.0)
+                        for i in c))))
+    written_aromatic = [a.aromatic for a in mol.atoms]
     if not mol.is_valid():
         return None
     perceive_aromaticity(mol)

@@ -54,6 +54,13 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Free bits constraint (min KL per dimension)")
     parser.add_argument("--lambda_mi", type=float, default=0.01,
                         help="Mutual information penalty weight")
+    parser.add_argument("--target_mi", type=float, default=4.85,
+                        help="MI target driving the MI penalty "
+                             "lambda_mi*max(0, target_mi - MI). The reference "
+                             "hard-codes 4.85 (trainer.py:152, "
+                             "complete_vae_loss.py:19); exposed as a flag for "
+                             "latent-health tuning (it is the lever the MI "
+                             "penalty pushes toward)")
     parser.add_argument("--grad_clip", type=float, default=1.0, help="Gradient clipping norm")
 
     # Output arguments (reference train.py:47-54)
@@ -245,6 +252,7 @@ def main(argv=None):
         lambda_collapse=args.lambda_collapse,
         free_bits=args.free_bits,
         lambda_mi=args.lambda_mi,
+        target_mi=args.target_mi,
         grad_clip=args.grad_clip,
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_freq=args.checkpoint_freq,

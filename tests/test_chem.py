@@ -45,7 +45,6 @@ class TestSmiles:
         "", "C(", "C1CC", "C(C)(C)(C)(C)C",   # syntax / valence
         "c1ccc1",                              # anti-aromatic (4 pi)
         "N(=O)(=O)=O",                         # N hexavalent
-        "CC.O",                                # multi-fragment unsupported
         "O=C=O=C",                             # O trivalent neutral
         "c1cc[n]c1", "c1ccnc1",                # pyrrole MUST be [nH] (rdkit
                                                # parity: plain n fails to
@@ -53,6 +52,75 @@ class TestSmiles:
     ])
     def test_invalid_rejected(self, bad):
         assert mol_from_smiles(bad) is None
+
+    # ---- multi-fragment input (salts / mixtures: raw ChEMBL rows) ----
+
+    @pytest.mark.parametrize("smi,want", [
+        ("CC.O", "CC"),                        # largest by heavy atoms
+        ("CC(=O)O.[Na+]", "CC(=O)O"),          # carboxylate sodium salt
+        ("Cl.NCCO", "C(O)CN"),                 # hydrochloride stripped
+        ("[Cl-].[Cl-].NCCN", "C(N)CN"),        # dihydrochloride
+    ])
+    def test_largest_fragment_kept(self, smi, want):
+        assert canonical_smiles(smi) == canonical_smiles(want)
+
+    def test_multifragment_opt_out(self):
+        assert mol_from_smiles("CC.O",
+                               keep_largest_fragment=False) is None
+        assert mol_from_smiles("CCO",
+                               keep_largest_fragment=False) is not None
+
+    def test_cross_dot_ring_closure_is_one_fragment(self):
+        # 'C1.C1' is ethane per the SMILES spec: a dot separates atoms,
+        # but the ring-closure pair still bonds across it.
+        assert canonical_smiles("C1.C1") == canonical_smiles("CC")
+
+    # ---- tetrahedral stereo (parse -> canonical write w/ parity) ----
+
+    def test_stereo_roundtrip_fixed_point(self):
+        can = canonical_smiles("N[C@@H](C)C(=O)O")  # L-alanine form
+        assert "@" in can
+        assert canonical_smiles(can) == can
+
+    def test_stereo_transposition_equivalence(self):
+        # Swapping two written neighbors + flipping the tag is the SAME
+        # configuration; all forms must canonicalize identically.
+        forms = ["N[C@@H](C)C(=O)O",
+                 "N[C@H](C(=O)O)C",    # branch swap + flip
+                 "C[C@H](N)C(=O)O"]    # different first neighbor + flip
+        cans = {canonical_smiles(f) for f in forms}
+        assert len(cans) == 1, cans
+
+    def test_enantiomers_canonicalize_differently(self):
+        a = canonical_smiles("N[C@@H](C)C(=O)O")
+        b = canonical_smiles("N[C@H](C)C(=O)O")
+        assert a is not None and b is not None and a != b
+
+    def test_achiral_write_has_no_tags(self):
+        assert "@" not in canonical_smiles("NC(C)C(=O)O")
+
+    def test_bad_stereo_dropped_not_fatal(self):
+        # a "@" on a CH2 (two heavy neighbors + 2 H) is not a tetrahedral
+        # center; rdkit-style sanitization drops the tag instead of failing
+        can = canonical_smiles("C[C@H2]C")
+        assert can is not None and "@" not in can
+        assert can == canonical_smiles("CCC")
+
+    # ---- directional (E/Z) bonds ----
+
+    def test_ez_roundtrip_and_distinct(self):
+        t = canonical_smiles("F/C=C/F")    # trans
+        c = canonical_smiles("F/C=C\\F")   # cis
+        assert t is not None and c is not None and t != c
+        assert canonical_smiles(t) == t
+        assert canonical_smiles(c) == c
+
+    def test_ez_equivalent_writings_match(self):
+        # global flip of every direction symbol is the same geometry …
+        assert canonical_smiles("F/C=C/F") == canonical_smiles("F\\C=C\\F")
+
+    def test_plain_double_bond_no_direction(self):
+        assert "/" not in canonical_smiles("FC=CF")
 
     def test_pyrrole_needs_explicit_h(self):
         # the [nH] form is the valid pyrrole; both plain-n forms above are
