@@ -162,7 +162,59 @@ def analyze(curves, epochs, warm):
         mu = _mean(v)
         return (sum((x - mu) ** 2 for x in v) / (len(v) - 1)) ** 0.5
 
+    # Paired common-random-numbers analysis (VERDICT r4 next #2). Both
+    # modes already run under the SAME seed (same PRNGKey init, same
+    # shuffle/TF noise — run() above), so the per-seed SIGNED relative gap
+    # d_s = (tavg_a[s] - tavg_b[s]) / tavg_b[s] is the CRN estimator of
+    # the mode effect; its CI can cross zero (the |gap|-of-means bootstrap
+    # cannot — folding makes any noise look like a positive gap).
+    paired = None
+    if len(seeds) >= 3:
+        dd = [(tavg_runs[ma][s] - tavg_runs[mb][s]) / tavg_runs[mb][s]
+              for s in seeds]
+        n_s = len(dd)
+        dm = _mean(dd)
+        dsd = _stdev(dd)
+        se = dsd / n_s ** 0.5
+        # t critical values (two-sided 95%) for the df we ever see
+        tcrit = {2: 4.303, 3: 3.182, 4: 2.776, 5: 2.571, 6: 2.447,
+                 7: 2.365, 8: 2.306, 9: 2.262, 10: 2.228, 11: 2.201,
+                 12: 2.179, 13: 2.160, 14: 2.145, 15: 2.131,
+                 16: 2.120}.get(n_s - 1, 1.96)
+        fa, fb = [tavg_runs[ma][s] for s in seeds], \
+                 [tavg_runs[mb][s] for s in seeds]
+        sa, sb = _stdev(fa), _stdev(fb)
+        mean_b = _mean(fb)
+        r_pair = (sum((x - _mean(fa)) * (y - mean_b)
+                      for x, y in zip(fa, fb))
+                  / ((n_s - 1) * sa * sb)) if sa and sb else None
+        import random as _random
+        rb = _random.Random(1)
+        bm = []
+        for _ in range(4000):
+            pick = [dd[rb.randrange(n_s)] for _ in range(n_s)]
+            bm.append(_mean(pick))
+        bm.sort()
+        paired = {
+            "per_seed_signed_gap": dict(zip(map(str, seeds), dd)),
+            "mean_signed_gap": dm,
+            "sd": dsd,
+            "se": se,
+            "t_ci95": [dm - tcrit * se, dm + tcrit * se],
+            "bootstrap_ci95": [bm[int(0.025 * len(bm))],
+                               bm[int(0.975 * len(bm)) - 1]],
+            "within_pair_correlation": r_pair,
+            "within_mode_rel_sd": {ma: sa / _mean(fa), mb: sb / mean_b},
+            "ci_contains_zero": (dm - tcrit * se) <= 0 <= (dm + tcrit * se),
+            # seeds needed for the t-CI half-width to shrink to (1% - |mean|),
+            # i.e. to exclude a 1% effect if the point estimate held.
+            "n_seeds_to_exclude_1pct": (
+                None if abs(dm) >= 0.01 else
+                max(3, int((1.96 * dsd / (0.01 - abs(dm))) ** 2 + 0.999))),
+        }
+
     return {
+        "paired": paired,
         "seeds": seeds,
         "warmup_epochs_excluded": warm,
         "cross_mode_gap_per_epoch": cross_mode_mean,
@@ -356,6 +408,13 @@ def main():
               f"{100 * b['median']:.2f}%  95% CI "
               f"[{100 * b['ci95'][0]:.2f}%, {100 * b['ci95'][1]:.2f}%]  "
               f"P(gap>1%)={b['p_gap_gt_1pct']:.3f}")
+    if analysis.get("paired"):
+        p = analysis["paired"]
+        print(f"  paired (CRN, signed): mean {100 * p['mean_signed_gap']:+.2f}%"
+              f"  t-CI95 [{100 * p['t_ci95'][0]:+.2f}%, "
+              f"{100 * p['t_ci95'][1]:+.2f}%]  contains 0: "
+              f"{p['ci_contains_zero']}  pair-corr "
+              f"{p['within_pair_correlation']:.2f}")
     fe = analysis["final_epoch"]
     print(f"  final epoch: mean gap {100 * fe['cross_mode_gap']:.2f}%  "
           f"stdevs " + "  ".join(
