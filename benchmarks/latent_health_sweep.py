@@ -81,10 +81,13 @@ def train_arm(name, overrides, train_ds, val_ds, args):
     mcfg = ModelConfig(compute_dtype="bfloat16",
                        use_pallas=jax.default_backend() == "tpu", **mkw)
     ckdir = str(Path(args.out_dir) / f"ck_{name}")
+    # steps_per_dispatch=4: with the device-resident index feed each step
+    # is one ~1KB round-trip; 70k steps x 55ms relay RTT would dominate
+    # the arm, so fuse 4 steps per dispatched program.
     tcfg = TrainConfig(epochs=args.epochs, batch_size=args.batch_size,
                        learning_rate=5e-4, beta_warmup_epochs=args.epochs,
                        checkpoint_dir=ckdir, checkpoint_freq=args.epochs,
-                       seed=67, **tkw)
+                       steps_per_dispatch=4, seed=67, **tkw)
     vae = ARCVAE(mcfg, jax.random.PRNGKey(67), with_predictor=True)
     trainer = ARCVAETrainer(vae.params, mcfg, tcfg, train_ds)
 
@@ -118,52 +121,91 @@ def positional_accuracy(pred, target, pad_token):
 
 def eval_arm(name, params, mcfg, test_ds, alphabet, args):
     """Latent health + reconstruction (split views + per-position) +
-    conditioning fidelity, all from live in-process params."""
-    from mlx_vae_tpu.cli.encode import _batched
+    conditioning fidelity, all from live in-process params.
+
+    Transfer-minimal by design: the relay's bulk bandwidth can dip to
+    ~0.1 MB/s, so the eval uploads the test rows ONCE (uint8 tokens),
+    keeps mu/logvar on device, computes latent statistics and the
+    teacher-forced accuracies device-side (downloads are [L]/[D] vectors
+    and scalars), and pulls decoded rows down as uint8."""
     from mlx_vae_tpu.cli.generate import make_generate_fn
     from mlx_vae_tpu.data.metrics import molecule_metrics
+    from mlx_vae_tpu.losses.info import mutual_information
     from mlx_vae_tpu.models.decoder import decoder_apply
     from mlx_vae_tpu.models.encoder import encoder_apply
-    from mlx_vae_tpu.models.latent_eval import (latent_statistics,
-                                                reconstruction_metrics)
+    from mlx_vae_tpu.models.latent_eval import reconstruction_metrics
     from mlx_vae_tpu.ops.pallas_decoder import pallas_generate_supported
 
     tokens = test_ds.molecules
     cond = test_ds.properties_normalized
-    if args.recon_subsample and len(tokens) > args.recon_subsample:
-        tokens = tokens[: args.recon_subsample]
-        cond = cond[: args.recon_subsample]
+    sub = (args.recon_subsample // args.eval_batch) * args.eval_batch
+    if sub and len(tokens) > sub:
+        tokens, cond = tokens[:sub], cond[:sub]
     n, L = tokens.shape
-    report = {}
+    B = args.eval_batch
+    report = {"num_eval_molecules": int(n)}
 
-    # --- latent health over the (sub)split ------------------------------
-    enc = jax.jit(lambda x, c: encoder_apply(params["encoder"], mcfg, x, c))
-    mu, logvar = _batched(enc, [tokens, cond], args.eval_batch)
-    stats = latent_statistics(mu, logvar)
+    toks_dev = jax.device_put(tokens.astype(np.uint8))
+    cond_dev = jax.device_put(cond.astype(np.float32))
+
+    # --- encode (outputs stay on device) --------------------------------
+    enc = jax.jit(lambda x, c: encoder_apply(params["encoder"], mcfg,
+                                             x.astype(jnp.int32), c))
+    mus, lvs = [], []
+    for s in range(0, n, B):
+        m, lv = enc(toks_dev[s:s + B], cond_dev[s:s + B])
+        mus.append(m)
+        lvs.append(lv)
+    mu, logvar = jnp.concatenate(mus), jnp.concatenate(lvs)
+
+    # --- latent health, device-side -------------------------------------
+    def _stats(mu, lv):
+        mu32, lv32 = mu.astype(jnp.float32), lv.astype(jnp.float32)
+        var = jnp.exp(lv32)
+        kl_per_dim = (-0.5 * (1.0 + lv32 - jnp.square(mu32) - var)).mean(0)
+        return (kl_per_dim, mu32.var(axis=0),
+                mutual_information(mu32, lv32, eps=1e-8))
+
+    kl_per_dim, mu_var, mi = [np.asarray(x)
+                              for x in jax.jit(_stats)(mu, logvar)]
     report.update(
-        kl_total=stats["kl_total"], active_units=stats["active_units"],
-        active_fraction=stats["active_fraction"],
-        mutual_information=stats["mutual_information"],
-        kl_per_dim_min=float(np.min(stats["kl_per_dim"])),
-        kl_per_dim_max=float(np.max(stats["kl_per_dim"])),
-        num_eval_molecules=int(n))
+        kl_total=float(kl_per_dim.sum()),
+        active_units=int((mu_var > 0.01).sum()),
+        active_fraction=float((mu_var > 0.01).mean()),
+        mutual_information=float(mi),
+        kl_per_dim_min=float(kl_per_dim.min()),
+        kl_per_dim_max=float(kl_per_dim.max()))
 
-    # --- reconstruction: TF=1 next-token + free-running greedy from mu --
+    # --- TF=1 next-token accuracy, per-position sums on device ----------
     key = jax.random.PRNGKey(0)
-    tf_dec = jax.jit(lambda z, c, x: jnp.argmax(
-        decoder_apply(params["decoder"], mcfg, z, c, target_seq=x,
-                      teacher_forcing_ratio=1.0, key=key), axis=-1))
-    tf_pred = _batched(tf_dec, [mu, cond, tokens], args.eval_batch)
-    mask = tokens != mcfg.pad_token
-    report["next_token_accuracy"] = float(
-        (tf_pred == tokens)[mask].sum() / max(1, mask.sum()))
-    tf_pos = positional_accuracy(tf_pred, tokens, mcfg.pad_token)
 
-    use_fused = pallas_generate_supported(mcfg, args.eval_batch, greedy=True)
+    def _tf_counts(z, c, x):
+        pred = jnp.argmax(
+            decoder_apply(params["decoder"], mcfg, z, c,
+                          target_seq=x.astype(jnp.int32),
+                          teacher_forcing_ratio=1.0, key=key), axis=-1)
+        m = x.astype(jnp.int32) != mcfg.pad_token
+        hit = jnp.logical_and(pred == x.astype(jnp.int32), m)
+        return hit.sum(axis=0), m.sum(axis=0)
+
+    tf_counts = jax.jit(_tf_counts)
+    num = np.zeros(L, np.int64)
+    den = np.zeros(L, np.int64)
+    for s in range(0, n, B):
+        h, m = tf_counts(mu[s:s + B], cond_dev[s:s + B], toks_dev[s:s + B])
+        num += np.asarray(h)
+        den += np.asarray(m)
+    report["next_token_accuracy"] = float(num.sum() / max(1, den.sum()))
+    with np.errstate(invalid="ignore"):
+        tf_pos = np.where(den > 0, num / np.maximum(den, 1), np.nan)
+
+    # --- free-running greedy decode from z = mu (uint8 downloads) -------
+    use_fused = pallas_generate_supported(mcfg, B, greedy=True)
     gen = make_generate_fn(mcfg, params["decoder"], use_fused, L, 1.0,
                            greedy=True)
-    decoded = _batched(lambda z, c: gen(z, c, key), [mu, cond],
-                       args.eval_batch)
+    decoded = np.concatenate([
+        np.asarray(gen(mu[s:s + B], cond_dev[s:s + B], key)
+                   .astype(jnp.uint8)) for s in range(0, n, B)])
     rec = reconstruction_metrics(decoded, tokens, pad_token=mcfg.pad_token)
     report.update(rec)
     fr_pos = positional_accuracy(decoded[:, :L], tokens, mcfg.pad_token)
@@ -183,7 +225,8 @@ def eval_arm(name, params, mcfg, test_ds, alphabet, args):
         c = c.at[:, 0].set(float((target - mean[0, 0]) / std[0, 0]))
         z = jax.random.normal(jax.random.PRNGKey(0),
                               (args.fid_batch, mcfg.latent_dim))
-        toks = np.asarray(sgen(z, c, jax.random.PRNGKey(1)))
+        toks = np.asarray(sgen(z, c, jax.random.PRNGKey(1))
+                          .astype(jnp.uint8))
         mm = molecule_metrics(toks, alphabet, target_tpsa=target,
                               sample=len(toks))
         rows.append({"target": target, "decoded": mm["decoded"],
@@ -224,9 +267,10 @@ def main():
     ap.add_argument("--targets", type=float, nargs="+",
                     default=[30.0, 55.0, 90.0])
     ap.add_argument("--temperature", type=float, default=0.8)
-    ap.add_argument("--recon_subsample", type=int, default=16384,
+    ap.add_argument("--recon_subsample", type=int, default=8192,
                     help="cap the test-split rows used for the latent/recon "
-                         "eval (0 = full split)")
+                         "eval (0 = full split; rounded down to a multiple "
+                         "of --eval_batch)")
     ap.add_argument("--out_dir", default="/tmp/sweep")
     ap.add_argument("--output", default="benchmarks/latent_health_sweep.json")
     args = ap.parse_args()

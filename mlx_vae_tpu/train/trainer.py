@@ -166,7 +166,12 @@ class ARCVAETrainer:
         # mesh the corpus is REPLICATED per device and each shard gathers
         # its local [B/n] index slice (gather-fed shard_map / GSPMD steps).
         self._device_data = not tcfg.host_data
-        self._dev_arrays = OrderedDict()  # id(ds) -> (ds, tokens_dev, props_dev)
+        # The device-corpus cache is CLASS-level: sweep/study harnesses
+        # build a fresh trainer per arm over the same dataset, and on
+        # tunneled backends re-uploading the corpus per trainer costs
+        # minutes (the relay's bulk bandwidth varies 0.1-35 MB/s by day).
+        # Keyed by dataset identity + sharding; the identity check in
+        # _dev_data still guards against id() reuse after GC.
 
         # Step routing under a mesh:
         #   tp == 1 -> shard_map (explicit pmean; Pallas kernels run
@@ -237,15 +242,17 @@ class ARCVAETrainer:
     # least-recently-used entry so HBM can't accumulate stale corpora
     # (ADVICE r2).
     _DEV_CACHE_MAX = 3
+    _dev_arrays: "OrderedDict" = OrderedDict()  # class-level, see __init__
 
     def _dev_data(self, dataset):
         """Device-resident (tokens, normalized properties) for ``dataset``
-        (uploaded once, uint8 when the vocab fits a byte). The dataset
-        object is kept in the cache entry: caching by ``id()`` alone would
-        silently serve stale device arrays if a dataset were garbage
-        collected and a new one allocated at the same address."""
-        key = id(dataset)
-        entry = self._dev_arrays.get(key)
+        (uploaded once per process, uint8 when the vocab fits a byte). The
+        dataset object is kept in the cache entry: caching by ``id()``
+        alone would silently serve stale device arrays if a dataset were
+        garbage collected and a new one allocated at the same address."""
+        key = (id(dataset), self.mcfg.vocab_size <= 255,
+               repr(self._corpus_sharding()))
+        entry = ARCVAETrainer._dev_arrays.get(key)
         if entry is None or entry[0] is not dataset:
             toks = dataset.molecules
             if self.mcfg.vocab_size <= 255:
@@ -256,15 +263,15 @@ class ARCVAETrainer:
                 jax.device_put(dataset.properties_normalized
                                .astype(np.float32), self._corpus_sharding()),
             )
-            self._dev_arrays.pop(key, None)
-            self._dev_arrays[key] = entry
-            while len(self._dev_arrays) > self._DEV_CACHE_MAX:
-                _, (_, t, p) = self._dev_arrays.popitem(last=False)
+            ARCVAETrainer._dev_arrays.pop(key, None)
+            ARCVAETrainer._dev_arrays[key] = entry
+            while len(ARCVAETrainer._dev_arrays) > self._DEV_CACHE_MAX:
+                _, (_, t, p) = ARCVAETrainer._dev_arrays.popitem(last=False)
                 for arr in (t, p):
                     if hasattr(arr, "delete"):
                         arr.delete()
         else:
-            self._dev_arrays.move_to_end(key)
+            ARCVAETrainer._dev_arrays.move_to_end(key)
         return entry[1], entry[2]
 
     def _corpus_sharding(self):
