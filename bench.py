@@ -49,11 +49,13 @@ def log(*a):
 def bench_train(batch: int = 4096, seq_len: int = 64, steps: int = 96,
                 warmup: int = 1, compute_dtype: str = "bfloat16",
                 use_pallas: bool = None, scan_unroll: int = 1,
-                steps_per_dispatch: int = 8) -> float:
+                steps_per_dispatch: int = 8, hidden_dim: int = 256,
+                latent_dim: int = 128, num_layers: int = 2) -> float:
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu"
     mcfg = ModelConfig(compute_dtype=compute_dtype, use_pallas=use_pallas,
-                       scan_unroll=scan_unroll)
+                       scan_unroll=scan_unroll, hidden_dim=hidden_dim,
+                       latent_dim=latent_dim, num_layers=num_layers)
     tcfg = TrainConfig(batch_size=batch, steps_per_dispatch=steps_per_dispatch)
     log(f"devices={jax.devices()} model={mcfg} K={steps_per_dispatch}")
 
@@ -101,15 +103,61 @@ def bench_train(batch: int = 4096, seq_len: int = 64, steps: int = 96,
     return tokens_per_sec
 
 
+# Scaled config (VERDICT r4 next #9): hidden 1024 / 4 LSTM layers /
+# latent 512, batch 2048 — the gate-blocked per-layer kernel tier
+# (docs/DESIGN.md "Gate-blocked per-layer kernels"). ~42x the FLOPs/token
+# of the flagship config; DESIGN measures 267.8ms/step = 0.49M tok/s/chip
+# at the bf16 roofline.
+SCALED = dict(batch=2048, seq_len=64, steps=24, hidden_dim=1024,
+              latent_dim=512, num_layers=4, steps_per_dispatch=8)
+
+
+def bench_scaled() -> dict:
+    tps = bench_train(**SCALED)
+    n_tok = SCALED["batch"] * SCALED["seq_len"]
+    return {
+        "config": "hidden1024_layers4_latent512_bf16_batch2048",
+        "tokens_per_sec_per_chip": round(tps / jax.device_count(), 1),
+        "step_ms": round(n_tok / tps * 1e3, 1),
+    }
+
+
 def main():
+    import os
+    import subprocess
+
+    if "--scaled_only" in sys.argv:
+        print(json.dumps(bench_scaled()))
+        return
+
     tokens_per_sec = bench_train()
     n_chips = jax.device_count()
     per_chip = tokens_per_sec / n_chips
+
+    # The scaled-config measurement runs in a SEQUENTIAL subprocess with
+    # its own time budget: on remote backends its first execution stalls
+    # ~3min (not client-cacheable), and a hang there must never cost the
+    # flagship number. BENCH_SKIP_SCALED=1 disables; BENCH_SCALED_TIMEOUT
+    # (seconds) bounds it.
+    scaled = None
+    if os.environ.get("BENCH_SKIP_SCALED", "") != "1":
+        try:
+            r = subprocess.run(
+                [sys.executable, __file__, "--scaled_only"],
+                capture_output=True, text=True,
+                timeout=float(os.environ.get("BENCH_SCALED_TIMEOUT", 480)))
+            sys.stderr.write(r.stderr)
+            if r.returncode == 0:
+                scaled = json.loads(r.stdout.strip().splitlines()[-1])
+        except (subprocess.TimeoutExpired, ValueError, IndexError) as e:
+            log(f"scaled-config bench skipped: {type(e).__name__}")
+
     print(json.dumps({
         "metric": "train_tokens_per_sec_per_chip",
         "value": round(per_chip, 1),
         "unit": "tokens/sec/chip",
         "vs_baseline": round(per_chip / BASELINE_TOKENS_PER_SEC, 3),
+        **({"scaled": scaled} if scaled else {}),
     }))
 
 

@@ -68,10 +68,20 @@ ARMS = {
     "coll01": {"t:lambda_collapse": 0.1},
     # interaction: the synthetic winner at concentrated capacity.
     "combo": {"t:free_bits": 8.0, "t:lambda_mi": 0.1, "m:latent_dim": 32},
+    # --- conditioning-leakage probes (round-5 diagnosis arms) ---------
+    # Hypothesis: conditioning fidelity is capped by TRAIN-TIME LEAKAGE —
+    # the decoder can read TPSA from the posterior z (which encodes it)
+    # instead of from c, but at generation z is prior noise, so whatever
+    # the decoder learned to read from z is lost. Prediction: coupling z
+    # to TPSA harder (lambda_prop x10) WORSENS slope/MAE; decoupling it
+    # (lambda_prop 0 on the repaired-MI arm) IMPROVES them.
+    "prop1": {"t:lambda_prop": 1.0},
+    "fb8_mi01_prop0": {"t:free_bits": 8.0, "t:lambda_mi": 0.1,
+                       "t:lambda_prop": 0.0},
 }
 
 
-def train_arm(name, overrides, train_ds, val_ds, args):
+def train_arm(name, overrides, train_ds, val_ds, args, alphabet=None):
     from mlx_vae_tpu.config import ModelConfig, TrainConfig
     from mlx_vae_tpu.models import ARCVAE
     from mlx_vae_tpu.train.trainer import ARCVAETrainer
@@ -90,6 +100,7 @@ def train_arm(name, overrides, train_ds, val_ds, args):
                        steps_per_dispatch=4, seed=67, **tkw)
     vae = ARCVAE(mcfg, jax.random.PRNGKey(67), with_predictor=True)
     trainer = ARCVAETrainer(vae.params, mcfg, tcfg, train_ds)
+    trainer.alphabet = alphabet  # stored in checkpoints (serve/generate)
 
     hist = {k: [] for k in ("val_loss", "val_recon", "val_kl",
                             "mutual_info", "train_loss")}
@@ -305,7 +316,7 @@ def main():
         print(f"\n=== arm {name}: {overrides or 'arm-D base recipe'} ===",
               flush=True)
         params, mcfg, hist, wall, ckdir = train_arm(
-            name, overrides, train_ds, val_ds, args)
+            name, overrides, train_ds, val_ds, args, alphabet=alphabet)
         report = eval_arm(name, params, mcfg, test_ds, alphabet, args)
         results[name] = {
             "overrides": {k: v for k, v in overrides.items()},
