@@ -278,6 +278,13 @@ def main():
         args.epochs = prev["config"]["epochs"]
         args.molecules = prev["config"]["molecules"]
         args.batch_size = prev["config"]["batch_size"]
+        # Preserve the recorded corpus flags verbatim: a reanalysis of the
+        # chem artifact must not rewrite drug_like/max_length from this
+        # invocation's (untouched) CLI defaults — that clobbered the chem
+        # file's drug_like flag to False and broke later --merge_from
+        # config checks (round 5).
+        args.drug_like = bool(prev["config"].get("drug_like", False))
+        args.max_length = prev["config"].get("max_length", 80)
         seeds = prev["config"]["seeds"]
         if args.output is None:
             # Reanalysis writes back to the file it read unless an output
