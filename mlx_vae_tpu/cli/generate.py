@@ -52,6 +52,20 @@ def build_parser():
                    help="Pass --target values to the model raw, without "
                         "z-scoring by the train-set stats (only correct if "
                         "the model was trained on unnormalized properties)")
+    p.add_argument("--calibrate_response", type=str, default=None,
+                   metavar="A,B",
+                   help="Invert a measured linear conditioning response "
+                        "achieved = A + B*request on the FIRST condition "
+                        "axis: the value sent to the model becomes "
+                        "(target - A)/B, so decoded properties land ON the "
+                        "requested target instead of the model's shrunken "
+                        "response (~0.65x, invariant to training levers — "
+                        "docs/DESIGN.md 'Round-5 lever sweep'). Fit A,B per "
+                        "checkpoint with benchmarks/"
+                        "conditioning_calibrated.py; measured there: slope "
+                        "0.62 -> 0.86, decoded-TPSA MAE 21.7 -> 18.4 at no "
+                        "uniqueness cost. Example: --calibrate_response "
+                        "2.38,0.638")
     p.add_argument("--data_parallel", action="store_true",
                    help="Shard each generation batch over all visible "
                         "devices (shard_map over a ('data',) mesh)")
@@ -135,6 +149,17 @@ def main(argv=None):
         parser.error(f"--top_k must be >= 0 (0 disables), got {args.top_k}")
     if not 0.0 < args.top_p <= 1.0:
         parser.error(f"--top_p must be in (0, 1] (1.0 disables), got {args.top_p}")
+    calib = None
+    if args.calibrate_response is not None:
+        try:
+            ca, cb = (float(v) for v in args.calibrate_response.split(","))
+            if cb == 0.0:
+                raise ValueError
+            calib = (ca, cb)
+        except ValueError:
+            parser.error("--calibrate_response must be 'A,B' (floats, "
+                         "B != 0), the fitted response line "
+                         "achieved = A + B*request")
 
     ckpt = load_checkpoint(args.checkpoint)
     dec_params = ckpt["params"]["decoder"]
@@ -154,7 +179,15 @@ def main(argv=None):
     from mlx_vae_tpu.cli.common import normalized_targets, resolve_property_stats
     mean, std, alphabet, train_ds = resolve_property_stats(
         args.data, args.no_normalize, ckpt, mcfg.num_conditions)
-    target = normalized_targets(args.target, mean, std, mcfg.num_conditions)
+    model_target = list(args.target)
+    if calib is not None:
+        ca, cb = calib
+        model_target[0] = (model_target[0] - ca) / cb
+        print(f"Calibrated conditioning: target {args.target[0]:g} -> "
+              f"model request {model_target[0]:.1f} "
+              f"(inverting achieved = {ca:g} + {cb:g}*request)")
+    target = normalized_targets(model_target, mean, std,
+                                mcfg.num_conditions)
 
     key = jax.random.PRNGKey(0)
     cond = jnp.broadcast_to(jnp.asarray(target),

@@ -192,6 +192,48 @@ def test_generate_cli_rejects_invalid_truncation_flags(tmp_path):
                       "--num_molecules", "16"] + flags)
 
 
+def test_generate_cli_rejects_malformed_calibration(tmp_path):
+    """A malformed --calibrate_response A,B must die at argparse before
+    any checkpoint load (B=0 would divide by zero; non-floats are typos)."""
+    from mlx_vae_tpu.cli.generate import main as gen_main
+
+    for bad in ("2.38", "a,b", "2.38,0", "1,2,3"):
+        with pytest.raises(SystemExit):
+            gen_main(["--checkpoint", str(tmp_path / "absent.npz"),
+                      "--num_molecules", "16",
+                      "--calibrate_response", bad])
+
+
+def test_generate_cli_calibrated_conditioning(tmp_path, monkeypatch):
+    """--calibrate_response A,B sends (target - A)/B to the model on the
+    first condition axis: generation with target T and calibration (A, B)
+    must produce the same tokens as generation with raw target (T - A)/B
+    and no calibration (greedy => deterministic)."""
+    import numpy as np
+    from mlx_vae_tpu.cli.generate import main as gen_main
+    from mlx_vae_tpu.cli.train import main as train_main
+    monkeypatch.chdir(tmp_path)
+    train_main([
+        "--data", str(tmp_path / "d.json"), "--synthetic", "200",
+        "--vocab_size", "24", "--embedding_dim", "16", "--hidden_dim", "32",
+        "--latent_dim", "8", "--num_layers", "2",
+        "--epochs", "1", "--batch_size", "32",
+        "--checkpoint_dir", str(tmp_path / "ck"), "--checkpoint_freq", "1",
+    ])
+    common = ["--checkpoint", str(tmp_path / "ck" / "checkpoint_best.npz"),
+              "--data", str(tmp_path / "d.json"), "--num_molecules", "32",
+              "--batch_size", "32", "--max_length", "12", "--greedy"]
+    a, b, t = 2.0, 0.64, 90.0
+    gen_main(common + ["--target", str(t),
+                       "--calibrate_response", f"{a},{b}",
+                       "--output", str(tmp_path / "cal.npz")])
+    gen_main(common + ["--target", str((t - a) / b),
+                       "--output", str(tmp_path / "raw.npz")])
+    cal = np.load(tmp_path / "cal.npz")["tokens"]
+    raw = np.load(tmp_path / "raw.npz")["tokens"]
+    assert np.array_equal(cal, raw)
+
+
 @pytest.mark.slow
 def test_generate_cli_infers_shape_from_checkpoint(tmp_path, monkeypatch):
     """Model dims default to the checkpoint's parameter shapes; an explicit
