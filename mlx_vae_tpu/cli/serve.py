@@ -155,6 +155,17 @@ def build_parser():
     p.add_argument("--max_molecules", type=int, default=1_000_000,
                    help="Reject larger requests instead of queueing them")
     p.add_argument("--no_normalize", action="store_true")
+    p.add_argument("--calibrate_response", type=str, default=None,
+                   metavar="A,B",
+                   help="Invert a measured linear conditioning response "
+                        "achieved = A + B*request on the FIRST condition "
+                        "axis for every request: the model is conditioned "
+                        "on (target - A)/B so decoded properties land ON "
+                        "the requested target (same contract as "
+                        "generate.py --calibrate_response; fit per "
+                        "checkpoint with benchmarks/"
+                        "conditioning_calibrated.py). Responses carry the "
+                        "transformed value as 'calibrated_request'")
     p.add_argument("--truncation", action="append", default=None,
                    metavar="SPEC",
                    help="Warm-compile a truncated-sampling config, e.g. "
@@ -268,6 +279,18 @@ class GenerationService:
             tiers = [args.batch_size]
         if any(t < 1 for t in tiers):
             raise SystemExit(f"batch tiers must be >= 1, got {tiers}")
+        self.calib = None
+        if getattr(args, "calibrate_response", None) is not None:
+            try:
+                ca, cb = (float(v)
+                          for v in args.calibrate_response.split(","))
+                if cb == 0.0:
+                    raise ValueError
+            except ValueError:
+                raise SystemExit("--calibrate_response must be 'A,B' "
+                                 "(floats, B != 0), the fitted response "
+                                 "line achieved = A + B*request")
+            self.calib = (ca, cb)
 
         ckpt = load_checkpoint(args.checkpoint)
         dec = ckpt["params"]["decoder"]
@@ -741,7 +764,11 @@ class GenerationService:
                 for t in target):
             raise ValueError(f"target must be a list of numbers, got {target!r}")
         target = [float(t) for t in target]
-        tn = normalized_targets(target, self.mean, self.std,
+        model_target = list(target)
+        if self.calib is not None and model_target:
+            ca, cb = self.calib
+            model_target[0] = (model_target[0] - ca) / cb
+        tn = normalized_targets(model_target, self.mean, self.std,
                                 self.cfg.num_conditions)
         key = jax.random.PRNGKey(self._number(req, "seed", 0, int))
 
@@ -766,6 +793,8 @@ class GenerationService:
         out = {
             "num_molecules": int(n),
             "target": target,
+            **({"calibrated_request": round(model_target[0], 2)}
+               if self.calib is not None and model_target else {}),
             "temperature": temperature,
             "greedy": greedy,
             "top_k": top_k,
@@ -794,6 +823,8 @@ class GenerationService:
                         [t for t in self.tiers if (t,) + pk in self._warm]
                         for pk in self.pkeys}},
                 "batch_size": self.batch, "batch_tiers": self.tiers,
+                "calibrate_response": list(self.calib) if self.calib
+                else None,
                 "truncation_configs": [list(c) for c in self.trunc_cfgs],
                 "coalescing": {
                     "stochastic": self._can_coalesce[(False, 0, 1.0)],

@@ -571,6 +571,36 @@ class TestBackgroundWarmup:
         assert set(h["warmup"]["warm_tiers"]
                    ["greedy=False,top_k=0,top_p=1.0"]) == set(svc.tiers)
 
+    def test_calibrated_conditioning_equals_raw_request(self, svc):
+        """--calibrate_response transforms the first target axis to
+        (t - A)/B before normalization: a calibrated request must produce
+        the same tokens as the raw transformed request (greedy), and the
+        response must expose the transformed value."""
+        assert svc.wait_warm(timeout=300)
+        a, b, t = 3.0, 0.5, 90.0
+        raw = svc.generate({"num_molecules": 4, "greedy": True,
+                            "target": [(t - a) / b, 0.0], "seed": 7,
+                            "return_tokens": True})
+        try:
+            svc.calib = (a, b)
+            cal = svc.generate({"num_molecules": 4, "greedy": True,
+                                "target": [t, 0.0], "seed": 7,
+                                "return_tokens": True})
+        finally:
+            svc.calib = None
+        assert cal["calibrated_request"] == pytest.approx((t - a) / b,
+                                                          abs=0.01)
+        assert cal["tokens"] == raw["tokens"]
+        assert cal["target"] == [t, 0.0]  # response echoes the USER target
+
+    def test_bad_calibrate_response_flag_is_clean_exit(self, tmp_path):
+        from mlx_vae_tpu.cli.serve import GenerationService
+        for bad in ("2.38", "a,b", "1,0"):
+            args = build_parser().parse_args([
+                "--checkpoint", "unused.npz", "--calibrate_response", bad])
+            with pytest.raises(SystemExit, match="calibrate_response"):
+                GenerationService(args)
+
     def test_sync_warmup_flag_blocks_until_all_warm(self, tmp_path):
         from mlx_vae_tpu.cli.serve import GenerationService
         from mlx_vae_tpu.models.vae import ARCVAE
