@@ -559,7 +559,11 @@ def test_stochastic_sampling_statistics():
         env=env, capture_output=True, text=True, timeout=300)
     if "tpu" not in probe.stdout:
         pytest.skip("no TPU backend reachable")
-    r = subprocess.run([sys.executable, "benchmarks/sampling_stats.py"],
+    # --skip_throughput: the assertion below is about the DISTRIBUTION
+    # checks; the multi-trial timing sections (round 5) add ~5 min of
+    # device time that blew this subprocess's budget.
+    r = subprocess.run([sys.executable, "benchmarks/sampling_stats.py",
+                        "--skip_throughput"],
                        env=env, cwd=repo, capture_output=True, text=True,
                        timeout=580)
     assert r.returncode == 0, (r.stdout + r.stderr)[-2000:]
